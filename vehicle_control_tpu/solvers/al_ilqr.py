@@ -1,0 +1,315 @@
+"""Augmented-Lagrangian iLQR: the TPU-native NLP engine.
+
+This module replaces the reference's per-step CasADi ``Opti('nlp')`` + IPOPT +
+HSL MA27 stack (reference: vehicle_control/controllers/mpc/cascaded_mpc.py:53-66,
+solve at :308).  Instead of an interior-point method over a sparse symbolic
+graph, the trajectory NLP is solved by:
+
+* an **outer augmented-Lagrangian loop** (PHR formulation) that turns the
+  stage inequality constraints ``c(n, z, u) <= 0`` into smooth penalties with
+  multiplier updates — playing the role of IPOPT's barrier/filter machinery;
+* an **inner iLQR loop**: stage-wise Jacobians/Hessians via ``jax.jacfwd``
+  (replacing CasADi AD), a Riccati backward sweep over the horizon (replacing
+  the MA27 sparse KKT factorization — the KKT system of this OCP is exactly
+  block-tridiagonal, which the Riccati recursion factorizes in one pass), and
+  a **parallel line search**: all backtracking candidates are rolled out at
+  once under ``vmap`` instead of sequentially — extra parallel FLOPs are free
+  on the VPU, wall-clock is not.
+
+Everything is static-shaped and fixed-iteration-count with convergence masks,
+so one ``solve`` traces once under ``jit`` and batches cleanly under ``vmap``
+/ ``shard_map`` over thousands of scenarios — the primary TPU scaling axis
+(SURVEY §2.3).  A non-converged scenario is a masked status in ``stats``,
+never an exception (SURVEY §5: solver failure must be first-class, unlike the
+reference's try/except at racing.py:416-423).
+
+Problem form (all shapes static):
+
+    minimize   sum_n  stage_cost(n, z_n, u_n, params)
+    subject to z_{n+1} = dynamics(n, z_n, u_n, params)     n = 0..H-2
+               constraints(n, z_n, u_n, params) <= 0       n = 0..H-1
+               z_0 fixed
+
+Terminal costs are folded into ``stage_cost`` at ``n == H-1`` (the dynamics
+output at the last stage is computed but unused).  Controls are single-
+shooting decision variables; states come from the rollout, so dynamics hold
+exactly at every iterate — matching the reference NLP at its solution.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+class OCPFunctions(NamedTuple):
+    """The three problem callbacks.  Each takes the stage index ``n`` (traced
+    int32), the augmented state ``z`` (nz,), the control ``u`` (nu,) and the
+    parameter pytree, and must be pure jnp (trace-once, vmap-clean)."""
+
+    dynamics: Callable  # (n, z, u, params) -> z_next (nz,)
+    stage_cost: Callable  # (n, z, u, params) -> scalar
+    constraints: Callable  # (n, z, u, params) -> (nc,)  with c <= 0 feasible
+
+
+@dataclasses.dataclass(frozen=True)
+class ALILQRConfig:
+    """Static solver hyper-parameters (baked into the trace)."""
+
+    n_outer: int = 4  # augmented-Lagrangian multiplier updates
+    n_inner: int = 10  # iLQR iterations per outer loop
+    n_alpha: int = 8  # parallel line-search candidates
+    alpha_min: float = 1e-3  # smallest candidate step
+    mu0: float = 10.0  # initial penalty
+    mu_scale: float = 10.0  # penalty growth per outer iteration
+    mu_max: float = 1e8
+    rho0: float = 1e-6  # initial LM regularization
+    rho_scale: float = 10.0
+    rho_min: float = 1e-8
+    rho_max: float = 1e10
+    tol_cost: float = 1e-7  # relative cost-decrease convergence tol
+    tol_con: float = 1e-4  # constraint-violation tolerance
+    armijo: float = 1e-4
+
+
+class Solution(NamedTuple):
+    X: jnp.ndarray  # (H, nz) state trajectory
+    U: jnp.ndarray  # (H, nu) control trajectory
+    lam: jnp.ndarray  # (H, nc) final AL multipliers
+    cost: jnp.ndarray  # scalar: raw objective (no penalty)
+    violation: jnp.ndarray  # scalar: max constraint violation
+    converged: jnp.ndarray  # bool
+    iterations: jnp.ndarray  # int32: accepted inner steps
+
+
+def _al_penalty(c, lam, mu):
+    """PHR augmented-Lagrangian penalty for c <= 0 (smooth a.e.)."""
+    lam_hat = jnp.maximum(0.0, lam + mu * c)
+    return (jnp.sum(lam_hat**2) - jnp.sum(lam**2)) / (2.0 * mu)
+
+
+def rollout(fns: OCPFunctions, params, z0, U):
+    """Open-loop rollout of a control sequence; returns (X, cost)."""
+    H = U.shape[0]
+
+    def step(z, n):
+        u = U[n]
+        cost = fns.stage_cost(n, z, u, params)
+        z_next = fns.dynamics(n, z, u, params)
+        return z_next, (z, cost)
+
+    _, (X, costs) = lax.scan(step, z0, jnp.arange(H))
+    return X, jnp.sum(costs)
+
+
+def build_solver(fns: OCPFunctions, horizon: int, config: ALILQRConfig | None = None):
+    """Return ``solve(params, z0, U_init, lam_init) -> Solution``.
+
+    The returned function is pure: jit it, vmap it over (params, z0, U_init,
+    lam_init) for scenario batching, shard_map it over a device mesh.
+    """
+    cfg = config or ALILQRConfig()
+    H = horizon
+    ns_range = jnp.arange(H)
+    # Line-search candidates: geometric ladder from 1 down to alpha_min.
+    alphas = jnp.asarray(
+        [cfg.alpha_min ** (i / (cfg.n_alpha - 1)) for i in range(cfg.n_alpha)]
+    )
+
+    # -- per-stage AL cost and its derivatives -------------------------------
+
+    def al_cost_w(n, w, lam_n, mu, params, nz):
+        z, u = w[:nz], w[nz:]
+        c = fns.constraints(n, z, u, params)
+        return fns.stage_cost(n, z, u, params) + _al_penalty(c, lam_n, mu)
+
+    def stage_derivs(n, z, u, lam_n, mu, params):
+        nz = z.shape[0]
+        w = jnp.concatenate([z, u])
+        cost_fn = lambda w_: al_cost_w(n, w_, lam_n, mu, params, nz)
+        g = jax.grad(cost_fn)(w)
+        Hw = jax.jacfwd(jax.grad(cost_fn))(w)
+        Hw = 0.5 * (Hw + Hw.T)
+        dyn_fn = lambda w_: fns.dynamics(n, w_[:nz], w_[nz:], params)
+        J = jax.jacfwd(dyn_fn)(w)
+        return (
+            g[:nz],  # lz
+            g[nz:],  # lu
+            Hw[:nz, :nz],  # lzz
+            Hw[nz:, :nz],  # luz
+            Hw[nz:, nz:],  # luu
+            J[:, :nz],  # A
+            J[:, nz:],  # B
+        )
+
+    batched_derivs = jax.vmap(stage_derivs, in_axes=(0, 0, 0, 0, None, None))
+
+    def total_al_cost(X, U, lam, mu, params):
+        def body(acc, n):
+            return (
+                acc
+                + fns.stage_cost(n, X[n], U[n], params)
+                + _al_penalty(fns.constraints(n, X[n], U[n], params), lam[n], mu),
+                None,
+            )
+
+        acc, _ = lax.scan(body, jnp.zeros(()), ns_range)
+        return acc
+
+    def raw_cost_and_violation(X, U, lam, params):
+        def per_stage(n):
+            c = fns.constraints(n, X[n], U[n], params)
+            return fns.stage_cost(n, X[n], U[n], params), jnp.max(c)
+
+        costs, viols = jax.vmap(per_stage)(ns_range)
+        return jnp.sum(costs), jnp.maximum(jnp.max(viols), 0.0)
+
+    # -- Riccati backward pass ------------------------------------------------
+
+    def backward(derivs, rho, nu):
+        lz, lu, lzz, luz, luu, A, B = derivs
+        nz = lz.shape[-1]
+        Vx0 = jnp.zeros((nz,), lz.dtype)
+        Vxx0 = jnp.zeros((nz, nz), lz.dtype)
+
+        def bstep(carry, idx):
+            Vx, Vxx, dV1, dV2, fail = carry
+            Qx = lz[idx] + A[idx].T @ Vx
+            Qu = lu[idx] + B[idx].T @ Vx
+            Qxx = lzz[idx] + A[idx].T @ Vxx @ A[idx]
+            Qux = luz[idx] + B[idx].T @ Vxx @ A[idx]
+            Quu = luu[idx] + B[idx].T @ Vxx @ B[idx]
+            Quu = 0.5 * (Quu + Quu.T) + rho * jnp.eye(nu, dtype=Quu.dtype)
+
+            # PD check + solve.  nu is tiny (2 for every vehicle model); use
+            # a Cholesky so arbitrary nu works, flag failure via the diagonal.
+            L = jnp.linalg.cholesky(Quu)
+            bad = jnp.any(jnp.isnan(L)) | jnp.any(jnp.diagonal(L) <= 0)
+            L_safe = jnp.where(bad, jnp.eye(nu, dtype=Quu.dtype), L)
+            rhs = jnp.concatenate([Qu[:, None], Qux], axis=1)
+            sol = jax.scipy.linalg.cho_solve((L_safe, True), rhs)
+            kff = -sol[:, 0]
+            Kfb = -sol[:, 1:]
+
+            Vx_n = Qx + Kfb.T @ Quu @ kff + Kfb.T @ Qu + Qux.T @ kff
+            Vxx_n = Qxx + Kfb.T @ Quu @ Kfb + Kfb.T @ Qux + Qux.T @ Kfb
+            Vxx_n = 0.5 * (Vxx_n + Vxx_n.T)
+            dV1_n = dV1 + kff @ Qu
+            dV2_n = dV2 + 0.5 * kff @ Quu @ kff
+            return (Vx_n, Vxx_n, dV1_n, dV2_n, fail | bad), (kff, Kfb)
+
+        (Vx, Vxx, dV1, dV2, fail), (kffs, Kfbs) = lax.scan(
+            bstep,
+            (Vx0, Vxx0, jnp.zeros(()), jnp.zeros(()), jnp.asarray(False)),
+            ns_range,
+            reverse=True,
+        )
+        return kffs, Kfbs, dV1, dV2, fail
+
+    # -- closed-loop forward pass (one line-search candidate) ----------------
+
+    def forward(alpha, Xref, Uref, kffs, Kfbs, lam, mu, params, z0):
+        def fstep(carry, n):
+            z, acc = carry
+            u = Uref[n] + alpha * kffs[n] + Kfbs[n] @ (z - Xref[n])
+            cost = fns.stage_cost(n, z, u, params) + _al_penalty(
+                fns.constraints(n, z, u, params), lam[n], mu
+            )
+            z_next = fns.dynamics(n, z, u, params)
+            return (z_next, acc + cost), (z, u)
+
+        (zH, total), (X, U) = lax.scan(fstep, (z0, jnp.zeros(())), ns_range)
+        total = jnp.where(jnp.isfinite(total), total, jnp.inf)
+        return X, U, total
+
+    forward_all = jax.vmap(forward, in_axes=(0,) + (None,) * 8)
+
+    # -- inner iLQR iteration --------------------------------------------------
+
+    def inner_step(state, _, lam, mu, params, z0):
+        X, U, cost_al, rho, done, n_acc = state
+        nu = U.shape[-1]
+
+        derivs = batched_derivs(ns_range, X, U, lam, mu, params)
+        kffs, Kfbs, dV1, dV2, bp_fail = backward(derivs, rho, nu)
+
+        Xc, Uc, costs = forward_all(alphas, X, U, kffs, Kfbs, lam, mu, params, z0)
+        expected = -(alphas * dV1 + alphas**2 * dV2)
+        improvement = cost_al - costs
+        ok = improvement > cfg.armijo * jnp.maximum(expected, 0.0)
+        ok = ok & jnp.isfinite(costs) & (improvement > 0.0) & (~bp_fail)
+        any_ok = jnp.any(ok)
+        # prefer the largest accepted step (alphas are sorted descending)
+        idx = jnp.argmax(ok)
+
+        X_new = jnp.where(any_ok, Xc[idx], X)
+        U_new = jnp.where(any_ok, Uc[idx], U)
+        cost_new = jnp.where(any_ok, costs[idx], cost_al)
+        rho_new = jnp.where(
+            any_ok,
+            jnp.maximum(rho / cfg.rho_scale, cfg.rho_min),
+            jnp.minimum(jnp.maximum(rho, cfg.rho0) * cfg.rho_scale, cfg.rho_max),
+        )
+        rel_impr = (cost_al - cost_new) / (jnp.abs(cost_al) + 1e-12)
+        converged_now = any_ok & (rel_impr < cfg.tol_cost)
+        stuck = (~any_ok) & (rho >= cfg.rho_max)
+        done_new = done | converged_now | stuck
+
+        # freeze once done (results stay, work is still traced — static shape)
+        X = jnp.where(done, X, X_new)
+        U = jnp.where(done, U, U_new)
+        cost_al = jnp.where(done, cost_al, cost_new)
+        rho = jnp.where(done, rho, rho_new)
+        n_acc = n_acc + jnp.where(done | ~any_ok, 0, 1)
+        return (X, U, cost_al, rho, done_new, n_acc), None
+
+    # -- full solve -------------------------------------------------------------
+
+    def solve(params, z0, U_init, lam_init=None):
+        nc_probe = jax.eval_shape(
+            lambda: fns.constraints(0, z0, U_init[0], params)
+        ).shape[0]
+        lam = (
+            lam_init
+            if lam_init is not None
+            else jnp.zeros((H, nc_probe), dtype=U_init.dtype)
+        )
+        mu0 = jnp.asarray(cfg.mu0, dtype=U_init.dtype)
+
+        def outer_step_closed(carry, _):
+            X, U, lam, mu, n_acc = carry
+            cost_al = total_al_cost(X, U, lam, mu, params)
+
+            def istep(s, __):
+                return inner_step(s, __, lam, mu, params, z0)
+
+            init = (
+                X,
+                U,
+                cost_al,
+                jnp.asarray(cfg.rho0, U.dtype),
+                jnp.asarray(False),
+                n_acc,
+            )
+            (X, U, _, _, _, n_acc), _ = lax.scan(istep, init, None, length=cfg.n_inner)
+
+            C = jax.vmap(lambda n: fns.constraints(n, X[n], U[n], params))(ns_range)
+            lam = jnp.maximum(0.0, lam + mu * C)
+            mu = jnp.minimum(mu * cfg.mu_scale, cfg.mu_max)
+            return (X, U, lam, mu, n_acc), None
+
+        X0, _ = rollout(fns, params, z0, U_init)
+        carry = (X0, U_init, lam, mu0, jnp.zeros((), jnp.int32))
+        (X, U, lam, _, n_acc), _ = lax.scan(
+            outer_step_closed, carry, None, length=cfg.n_outer
+        )
+
+        cost, violation = raw_cost_and_violation(X, U, lam, params)
+        converged = (violation < cfg.tol_con) & jnp.isfinite(cost)
+        return Solution(X, U, lam, cost, violation, converged, n_acc)
+
+    return solve
