@@ -1,0 +1,247 @@
+"""Host-side racing simulators with reference-parity artifacts.
+
+Mirrors the reference's ``RacingSimulator`` / ``KinematicRacingSimulator``
+(simulation/racing.py:23-459, simulation/kinracing.py:23-326) — multiple
+controllers racing as ghost cars on the same track, per-step logging,
+lap-completion detection, ``summarize()`` statistics, and ``save()``/``load()``
+of the same ``.npy`` artifact layout (``{ctrl}_state_traj.npy``,
+``_action_traj.npy``, ``_preds.npy``, ``_elapsed.npy`` + config YAML,
+racing.py:441-459) so the reference's analysis tooling carries over.
+
+The physics+solver loop is the jitted scan from :mod:`closed_loop`; the only
+host work between chunks is lap-completion polling and wall-clock timing.
+Rendering is decoupled (see :mod:`vehicle_control_tpu.simulation.render`).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import jax.numpy as jnp
+import numpy as np
+
+from vehicle_control_tpu.controllers.mpc import problems
+from vehicle_control_tpu.controllers.mpc.controllers import (
+    _solver_config,
+    initial_carry,
+)
+from vehicle_control_tpu.environment import track as track_mod
+from vehicle_control_tpu.environment.track import Track
+from vehicle_control_tpu.models import dynamic_car as dc
+from vehicle_control_tpu.models import kinematic_car as kc
+from vehicle_control_tpu.simulation.closed_loop import make_racing_loop
+from vehicle_control_tpu.utils.config import load_config, project_root, save_config
+
+
+def _controller_config_path(name: str) -> str:
+    return os.path.join(project_root(), "configs", "controllers", f"{name}.yaml")
+
+
+def _build_problem(name: str, ctrl_cfg, car_cfg, track, dtype):
+    """Pick the problem family from the config shape (reference wires
+    'cascaded'/'singletrack' to CascadedMPC, racing.py:59-64, and
+    'kinematic' to KinematicMPC, kinracing.py:51-59)."""
+    if "horizon_kc" in ctrl_cfg:
+        return problems.build_cascaded_problem(car_cfg, track, ctrl_cfg, "kc", dtype)
+    if "horizon_pm" in ctrl_cfg:
+        return problems.build_cascaded_problem(car_cfg, track, ctrl_cfg, "pm", dtype)
+    return problems.build_kinematic_problem(car_cfg, track, ctrl_cfg, dtype)
+
+
+class _Entry:
+    """One car + controller pair (a 'ghost car' lane)."""
+
+    def __init__(self, name, problem, run_chunk, carry, state, ctrl_cfg):
+        self.name = name
+        self.problem = problem
+        self.run_chunk = run_chunk
+        self.carry = carry
+        self.state = state
+        self.config = ctrl_cfg
+        self.states = []
+        self.actions = []
+        self.preds = []
+        self.elapsed = []
+        self.violations = []
+        self.done = False
+        self.steps = 0
+
+
+class RacingSimulator:
+    """Dynamic-car racing loop (reference: simulation/racing.py:23-459)."""
+
+    model = "dynamic"
+    s_index = 4
+    t_index = 7
+    ey_index = 5
+    speed_index = 0
+
+    def __init__(self, simconfig, carconfig, trackconfig, dtype=jnp.float64):
+        self.config = simconfig
+        self.car_config = carconfig
+        self.dtype = dtype
+        self.name = simconfig.get("name", "run")
+        self.track = Track(trackconfig)
+        self.dt = float(carconfig["dt"])
+        self.src_dir = os.path.join(
+            project_root(), "experiments", "data", f"{self.name}_{trackconfig['name']}"
+        )
+        names = list(simconfig.get("controller_names", ["cascaded"]))
+        self.entries = {}
+        for name in names:
+            ctrl_cfg = load_config(_controller_config_path(name))
+            # simconfig-level obstacle override (reference: racing.py:53-58)
+            ctrl_cfg["obstacles"] = bool(simconfig.get("obstacles", False))
+            problem = _build_problem(name, ctrl_cfg, carconfig, self.track, dtype)
+            run_chunk, _ = make_racing_loop(
+                problem,
+                _solver_config(ctrl_cfg),
+                self._plant_transition(),
+                self.track.data,
+                self.dt,
+                self.s_index,
+            )
+            self.entries[name] = _Entry(
+                name,
+                problem,
+                run_chunk,
+                initial_carry(problem, dtype),
+                self._initial_state(),
+                ctrl_cfg,
+            )
+
+    def _plant_transition(self):
+        p = dc.DynamicCarParams.from_config(self.car_config)
+        temporal, _ = dc.make_transitions(p)
+        return temporal
+
+    def _initial_state(self):
+        # Ux=4, s=1 (reference: racing.py:43-49)
+        return jnp.zeros((8,), self.dtype).at[0].set(4.0).at[4].set(1.0)
+
+    # -- main loop -----------------------------------------------------------
+
+    def run(self, max_steps: int = 2500, chunk: int = 25):
+        """Run every controller to lap completion (or ``max_steps``)."""
+        lap_s = self.track.length - 0.1  # lap threshold (racing.py:218)
+        for entry in self.entries.values():
+            while not entry.done and entry.steps < max_steps:
+                t0 = time.perf_counter()
+                state, carry, recs = entry.run_chunk(entry.state, entry.carry, chunk)
+                recs.state.block_until_ready()
+                wall = time.perf_counter() - t0
+                entry.state, entry.carry = state, carry
+                entry.states.append(np.asarray(recs.state))
+                entry.actions.append(np.asarray(recs.action))
+                entry.preds.append(np.asarray(recs.X_pred))
+                entry.violations.append(np.asarray(recs.violation))
+                entry.elapsed.append(np.full(chunk, wall / chunk))
+                entry.steps += chunk
+                s_now = float(state[self.s_index])
+                if s_now > lap_s:
+                    entry.done = True
+        self._finalize()
+        if self.config.get("save_data", False):
+            self.save()
+        return self
+
+    def _finalize(self):
+        self.state_traj = {}
+        self.action_traj = {}
+        self.elapsed = {}
+        self.pred_traj = {}
+        self.violation_traj = {}
+        for name, e in self.entries.items():
+            if not e.states:
+                continue
+            states = np.concatenate(e.states)
+            # trim to lap completion
+            s = states[:, self.s_index]
+            lap = np.argmax(s > self.track.length - 0.1)
+            end = lap + 1 if s[lap] > self.track.length - 0.1 else len(s)
+            self.state_traj[name] = states[:end]
+            self.action_traj[name] = np.concatenate(e.actions)[:end]
+            self.elapsed[name] = np.concatenate(e.elapsed)[:end]
+            self.pred_traj[name] = np.concatenate(e.preds)[:end]
+            self.violation_traj[name] = np.concatenate(e.violations)[:end]
+
+    # -- statistics (reference: racing.py:92-106) -----------------------------
+
+    def summarize(self):
+        lines = []
+        for name in self.state_traj:
+            st = self.state_traj[name]
+            ac = self.action_traj[name]
+            el = self.elapsed[name]
+            laptime = st[-1, self.t_index] + self.dt
+            lines.append(f"Lap time ({name}): {laptime:.2f} s")
+            lines.append(f"Mean step time ({name}): {np.mean(el) * 1e3:.2f} ms")
+            lines.append(f"Median step time ({name}): {np.median(el) * 1e3:.2f} ms")
+            lines.append(f"Average speed ({name}): {np.mean(st[:, self.speed_index]):.2f} m/s")
+            lines.append(f"Mean |u0| ({name}): {np.mean(np.abs(ac[:, 0])):.2f}")
+            lines.append(f"MSE ey ({name}): {np.mean(st[:, self.ey_index] ** 2):.3f}")
+        text = "\n".join(lines)
+        print(text)
+        return text
+
+    # -- persistence (reference layout: racing.py:441-459) --------------------
+
+    def save(self, path: str | None = None):
+        path = path or self.src_dir
+        os.makedirs(path, exist_ok=True)
+        for name in self.state_traj:
+            np.save(os.path.join(path, f"{name}_state_traj.npy"), self.state_traj[name])
+            np.save(os.path.join(path, f"{name}_action_traj.npy"), self.action_traj[name])
+            np.save(os.path.join(path, f"{name}_preds.npy"), self._global_preds(name))
+            np.save(os.path.join(path, f"{name}_elapsed.npy"), self.elapsed[name])
+            save_config(
+                self.entries[name].config, os.path.join(path, f"{name}_config.yaml")
+            )
+        return path
+
+    def load(self, path: str | None = None):
+        path = path or self.src_dir
+        self.state_traj, self.action_traj, self.elapsed, self.pred_traj = {}, {}, {}, {}
+        self.violation_traj = {}
+        for name in self.entries:
+            self.state_traj[name] = np.load(os.path.join(path, f"{name}_state_traj.npy"))
+            self.action_traj[name] = np.load(
+                os.path.join(path, f"{name}_action_traj.npy")
+            )
+            self.elapsed[name] = np.load(os.path.join(path, f"{name}_elapsed.npy"))
+        return self
+
+    def _global_preds(self, name):
+        """Predicted trajectories in the global frame (reference:
+        get_state_prediction, cascaded_mpc.py:340-352)."""
+        X = self.pred_traj[name]  # (T, H, nz)
+        e = self.entries[name]
+        if "horizon_pm" in e.config or "horizon_kc" in e.config:
+            N = int(e.config["horizon"])
+            s = np.concatenate([X[:, :N, 4], X[:, N:, 1 if "horizon_pm" in e.config else 2]], axis=1)
+            ey = np.concatenate([X[:, :N, 5], X[:, N:, 2 if "horizon_pm" in e.config else 3]], axis=1)
+            epsi = np.concatenate([X[:, :N, 6], X[:, N:, 3 if "horizon_pm" in e.config else 4]], axis=1)
+        else:
+            s, ey, epsi = X[:, :, 2], X[:, :, 3], X[:, :, 4]
+        x, y, psi = track_mod.rel2glob(self.track.data, s, ey, epsi)
+        return np.stack([np.asarray(x), np.asarray(y), np.asarray(psi)], axis=-1)
+
+
+class KinematicRacingSimulator(RacingSimulator):
+    """Kinematic-car racing loop (reference: simulation/kinracing.py:23-326)."""
+
+    model = "kinematic"
+    s_index = 2
+    t_index = 5
+    ey_index = 3
+    speed_index = 0
+
+    def _plant_transition(self):
+        p = kc.KinematicCarParams.from_config(self.car_config)
+        temporal, _ = kc.make_transitions(p)
+        return temporal
+
+    def _initial_state(self):
+        # v=0.1, s=1 (reference: kinracing.py:46-48)
+        return jnp.zeros((6,), self.dtype).at[0].set(0.1).at[2].set(1.0)

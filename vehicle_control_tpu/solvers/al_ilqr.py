@@ -74,6 +74,7 @@ class ALILQRConfig:
     tol_cost: float = 1e-7  # relative cost-decrease convergence tol
     tol_con: float = 1e-4  # constraint-violation tolerance
     armijo: float = 1e-4
+    record_trace: bool = False  # also return per-iteration diagnostics
 
 
 class Solution(NamedTuple):
@@ -106,14 +107,33 @@ def rollout(fns: OCPFunctions, params, z0, U):
     return X, jnp.sum(costs)
 
 
-def build_solver(fns: OCPFunctions, horizon: int, config: ALILQRConfig | None = None):
+def build_solver(
+    fns: OCPFunctions,
+    horizon: int,
+    config: ALILQRConfig | None = None,
+    u_lo=None,
+    u_hi=None,
+):
     """Return ``solve(params, z0, U_init, lam_init) -> Solution``.
 
     The returned function is pure: jit it, vmap it over (params, z0, U_init,
     lam_init) for scenario batching, shard_map it over a device mesh.
+
+    ``u_lo``/``u_hi`` (optional, (H, nu) or broadcastable): hard control
+    boxes applied by projection inside every rollout (boxed iLQR).  They keep
+    single-shooting rollouts of stiff dynamics bounded — the precise
+    constraint set is still enforced by the AL machinery.
     """
     cfg = config or ALILQRConfig()
     H = horizon
+    if u_lo is not None:
+        u_lo = jnp.asarray(u_lo)
+        u_hi = jnp.asarray(u_hi)
+
+    def clamp_u(n, u):
+        if u_lo is None:
+            return u
+        return jnp.clip(u, u_lo[n], u_hi[n])
     ns_range = jnp.arange(H)
     # Line-search candidates: geometric ladder from 1 down to alpha_min.
     alphas = jnp.asarray(
@@ -215,7 +235,7 @@ def build_solver(fns: OCPFunctions, horizon: int, config: ALILQRConfig | None = 
     def forward(alpha, Xref, Uref, kffs, Kfbs, lam, mu, params, z0):
         def fstep(carry, n):
             z, acc = carry
-            u = Uref[n] + alpha * kffs[n] + Kfbs[n] @ (z - Xref[n])
+            u = clamp_u(n, Uref[n] + alpha * kffs[n] + Kfbs[n] @ (z - Xref[n]))
             cost = fns.stage_cost(n, z, u, params) + _al_penalty(
                 fns.constraints(n, z, u, params), lam[n], mu
             )
@@ -223,7 +243,9 @@ def build_solver(fns: OCPFunctions, horizon: int, config: ALILQRConfig | None = 
             return (z_next, acc + cost), (z, u)
 
         (zH, total), (X, U) = lax.scan(fstep, (z0, jnp.zeros(())), ns_range)
-        total = jnp.where(jnp.isfinite(total), total, jnp.inf)
+        # reject divergent rollouts even if their cost happens to be finite
+        diverged = ~jnp.all(jnp.isfinite(X)) | (jnp.max(jnp.abs(X)) > 1e7)
+        total = jnp.where(jnp.isfinite(total) & ~diverged, total, jnp.inf)
         return X, U, total
 
     forward_all = jax.vmap(forward, in_axes=(0,) + (None,) * 8)
@@ -240,7 +262,12 @@ def build_solver(fns: OCPFunctions, horizon: int, config: ALILQRConfig | None = 
         Xc, Uc, costs = forward_all(alphas, X, U, kffs, Kfbs, lam, mu, params, z0)
         expected = -(alphas * dV1 + alphas**2 * dV2)
         improvement = cost_al - costs
-        ok = improvement > cfg.armijo * jnp.maximum(expected, 0.0)
+        # Armijo on the quadratic model — but when the model's predicted
+        # decrease exceeds the entire current cost the expansion is garbage
+        # (e.g. exponentially amplified sensitivities through a long unstable
+        # rollout chain); fall back to accepting plain descent.
+        model_sane = expected <= jnp.abs(cost_al) + 1.0
+        ok = (~model_sane) | (improvement > cfg.armijo * jnp.maximum(expected, 0.0))
         ok = ok & jnp.isfinite(costs) & (improvement > 0.0) & (~bp_fail)
         any_ok = jnp.any(ok)
         # prefer the largest accepted step (alphas are sorted descending)
@@ -249,15 +276,25 @@ def build_solver(fns: OCPFunctions, horizon: int, config: ALILQRConfig | None = 
         X_new = jnp.where(any_ok, Xc[idx], X)
         U_new = jnp.where(any_ok, Uc[idx], U)
         cost_new = jnp.where(any_ok, costs[idx], cost_al)
+        # Asymmetric LM schedule: climb fast on failure (ill-conditioned
+        # problems need rho ~ curvature scale within a few iterations), relax
+        # slowly on success.
         rho_new = jnp.where(
             any_ok,
             jnp.maximum(rho / cfg.rho_scale, cfg.rho_min),
-            jnp.minimum(jnp.maximum(rho, cfg.rho0) * cfg.rho_scale, cfg.rho_max),
+            jnp.minimum(jnp.maximum(rho, cfg.rho0) * cfg.rho_scale**2, cfg.rho_max),
         )
         rel_impr = (cost_al - cost_new) / (jnp.abs(cost_al) + 1e-12)
-        converged_now = any_ok & (rel_impr < cfg.tol_cost)
+        # Converged only when a (near-)full Newton step yields no progress, or
+        # the expected decrease itself is tiny — a small backtracked step with
+        # small improvement is NOT convergence, just a hard iteration.
+        alpha_sel = alphas[idx]
+        converged_now = any_ok & (rel_impr < cfg.tol_cost) & (alpha_sel >= 0.99)
+        small_grad = (~bp_fail) & (
+            -dV1 < cfg.tol_cost * (jnp.abs(cost_al) + 1.0)
+        )
         stuck = (~any_ok) & (rho >= cfg.rho_max)
-        done_new = done | converged_now | stuck
+        done_new = done | converged_now | small_grad | stuck
 
         # freeze once done (results stay, work is still traced — static shape)
         X = jnp.where(done, X, X_new)
@@ -265,7 +302,15 @@ def build_solver(fns: OCPFunctions, horizon: int, config: ALILQRConfig | None = 
         cost_al = jnp.where(done, cost_al, cost_new)
         rho = jnp.where(done, rho, rho_new)
         n_acc = n_acc + jnp.where(done | ~any_ok, 0, 1)
-        return (X, U, cost_al, rho, done_new, n_acc), None
+        trace = {
+            "cost_al": cost_al,
+            "accepted": any_ok & ~done,
+            "bp_fail": bp_fail,
+            "rho": rho,
+            "dV1": dV1,
+            "alpha": jnp.where(any_ok, alphas[idx], 0.0),
+        }
+        return (X, U, cost_al, rho, done_new, n_acc), trace
 
     # -- full solve -------------------------------------------------------------
 
@@ -281,35 +326,48 @@ def build_solver(fns: OCPFunctions, horizon: int, config: ALILQRConfig | None = 
         mu0 = jnp.asarray(cfg.mu0, dtype=U_init.dtype)
 
         def outer_step_closed(carry, _):
-            X, U, lam, mu, n_acc = carry
+            X, U, lam, mu, n_acc, rho = carry
             cost_al = total_al_cost(X, U, lam, mu, params)
 
             def istep(s, __):
                 return inner_step(s, __, lam, mu, params, z0)
 
-            init = (
-                X,
-                U,
-                cost_al,
-                jnp.asarray(cfg.rho0, U.dtype),
-                jnp.asarray(False),
-                n_acc,
+            # rho persists across outer iterations: the curvature scale the
+            # LM schedule discovered does not reset when multipliers update
+            init = (X, U, cost_al, rho, jnp.asarray(False), n_acc)
+            (X, U, _, rho, _, n_acc), trace = lax.scan(
+                istep, init, None, length=cfg.n_inner
             )
-            (X, U, _, _, _, n_acc), _ = lax.scan(istep, init, None, length=cfg.n_inner)
 
             C = jax.vmap(lambda n: fns.constraints(n, X[n], U[n], params))(ns_range)
             lam = jnp.maximum(0.0, lam + mu * C)
             mu = jnp.minimum(mu * cfg.mu_scale, cfg.mu_max)
-            return (X, U, lam, mu, n_acc), None
+            return (X, U, lam, mu, n_acc, rho), trace
 
+        if u_lo is not None:
+            U_init = jnp.clip(U_init, u_lo, u_hi)
         X0, _ = rollout(fns, params, z0, U_init)
-        carry = (X0, U_init, lam, mu0, jnp.zeros((), jnp.int32))
-        (X, U, lam, _, n_acc), _ = lax.scan(
+        # A divergent warm-start rollout must not poison the derivatives: with
+        # finite (if large) states, the first inner iteration's candidates are
+        # finite and any of them beats the +inf incumbent cost.
+        X0 = jnp.nan_to_num(X0, nan=0.0, posinf=1e6, neginf=-1e6)
+        carry = (
+            X0,
+            U_init,
+            lam,
+            mu0,
+            jnp.zeros((), jnp.int32),
+            jnp.asarray(cfg.rho0, U_init.dtype),
+        )
+        (X, U, lam, _, n_acc, _), trace = lax.scan(
             outer_step_closed, carry, None, length=cfg.n_outer
         )
 
         cost, violation = raw_cost_and_violation(X, U, lam, params)
         converged = (violation < cfg.tol_con) & jnp.isfinite(cost)
-        return Solution(X, U, lam, cost, violation, converged, n_acc)
+        sol = Solution(X, U, lam, cost, violation, converged, n_acc)
+        if cfg.record_trace:
+            return sol, jax.tree.map(lambda a: a.reshape((-1,) + a.shape[2:]), trace)
+        return sol
 
     return solve
