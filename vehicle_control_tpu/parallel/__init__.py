@@ -1,0 +1,17 @@
+from vehicle_control_tpu.parallel.batch import (
+    make_batched_mpc_step,
+    make_batched_racing_step,
+    tile_carry,
+)
+from vehicle_control_tpu.parallel.mesh import (
+    make_sharded_mpc_step,
+    scenario_mesh,
+)
+
+__all__ = [
+    "make_batched_mpc_step",
+    "make_batched_racing_step",
+    "tile_carry",
+    "make_sharded_mpc_step",
+    "scenario_mesh",
+]

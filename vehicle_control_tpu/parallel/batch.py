@@ -1,0 +1,53 @@
+"""Scenario batching: the primary TPU scaling axis.
+
+The reference runs ONE scenario per process (SURVEY §2.3 — no parallelism of
+any kind); beating its ~10-30 solves/s baseline by orders of magnitude comes
+from ``vmap`` over scenarios (initial states x track positions x friction x
+reference speeds), not from per-solve latency.  Everything in the solver and
+problem layers is vmap-clean by construction; this module provides the
+batched entry points the bench, sweeps, and the mesh layer build on.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from vehicle_control_tpu.controllers.mpc.controllers import (
+    MPCCarry,
+    initial_carry,
+    make_mpc_step,
+)
+from vehicle_control_tpu.environment import track as track_mod
+
+
+def tile_carry(problem, batch: int, dtype=None) -> MPCCarry:
+    """Broadcast the initial warm-start carry across a scenario batch."""
+    c = initial_carry(problem, dtype)
+    return MPCCarry(*(jnp.broadcast_to(a, (batch,) + a.shape) for a in c))
+
+
+def make_batched_mpc_step(problem, solver_cfg):
+    """vmap of the pure MPC step over (carry, state) scenario batches.
+
+    step(carries, states) -> (carries', actions, infos); states (B, ns).
+    """
+    return jax.vmap(make_mpc_step(problem, solver_cfg))
+
+
+def make_batched_racing_step(problem, solver_cfg, transition, track_data, dt, s_index):
+    """One batched closed-loop step: B MPC solves + B plant steps.
+
+    This is the unit the throughput bench measures and the multi-chip mesh
+    shards: scenario-parallel MPC with zero cross-scenario communication
+    (metrics reductions live in the mesh layer).
+    """
+    mpc_step = make_mpc_step(problem, solver_cfg)
+
+    def step(carry, state):
+        mc, action, info = mpc_step(carry, state)
+        k = track_mod.curvature(track_data, state[s_index])
+        next_state = transition(state, action, k, dt)
+        return mc, next_state, action, info
+
+    return jax.vmap(step)

@@ -1,0 +1,147 @@
+"""Offline rendering: track maps, race replays, GIFs.
+
+The reference renders *inside* the simulation loop (matplotlib FuncAnimation
+drives the physics, racing.py:208-215) — plotting wall-time gates the
+controller.  Here rendering is a pure post-processing step over the saved
+arrays: the sim loop is headless jitted XLA, and any run directory (ours or
+the reference's — same .npy layout) can be replayed.
+
+Plot content mirrors the reference: track boundaries + centerline
+(track.py:342-361), car body + wheels (racing_car.py:54-129), MPC prediction
+dots (racing.py:300-320), and the live side plots (speed, steer, force,
+steer rate; racing.py:322-414).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt
+from matplotlib.animation import FuncAnimation, PillowWriter
+from matplotlib.patches import Circle as CirclePatch
+from matplotlib.transforms import Affine2D
+
+
+def plot_track(track, ax=None):
+    """Track centerline + lane boundaries + obstacles (reference: track.py:342-361)."""
+    if ax is None:
+        _, ax = plt.subplots(figsize=(9, 6))
+    xs = np.array([wp.x for wp in track.waypoints])
+    ys = np.array([wp.y for wp in track.waypoints])
+    lbs = np.array([wp.lb for wp in track.waypoints])
+    rbs = np.array([wp.rb for wp in track.waypoints])
+    ax.plot(xs, ys, "--", color="0.6", lw=0.8)
+    ax.plot(lbs[:, 0], lbs[:, 1], color="k", lw=1.2)
+    ax.plot(rbs[:, 0], rbs[:, 1], color="k", lw=1.2)
+    for obs in track.obstacles:
+        ax.add_patch(CirclePatch((obs.cx, obs.cy), obs.radius, color="crimson", alpha=0.5))
+    ax.set_aspect("equal")
+    ax.set_xlabel("x [m]")
+    ax.set_ylabel("y [m]")
+    return ax
+
+
+def _draw_car(ax, x, y, psi, delta, length=2.5, width=1.2, color="#007CFF"):
+    """Car body rectangle + wheels (reference: racing_car.py:54-129)."""
+    from matplotlib.patches import Rectangle
+
+    body = Rectangle(
+        (-length / 2, -width / 2), length, width, color=color, alpha=0.7, zorder=5
+    )
+    tr = Affine2D().rotate(psi).translate(x, y) + ax.transData
+    body.set_transform(tr)
+    ax.add_patch(body)
+    # front wheels show steering
+    for side in (-1, 1):
+        wheel = Rectangle((-0.25, -0.08), 0.5, 0.16, color="k", zorder=6)
+        wtr = (
+            Affine2D()
+            .rotate(delta)
+            .translate(length / 3, side * width / 2.6)
+            .rotate(psi)
+            .translate(x, y)
+            + ax.transData
+        )
+        wheel.set_transform(wtr)
+        ax.add_patch(wheel)
+    return body
+
+
+def render_racing_frame(sim, name, step, ax=None):
+    """Single replay frame: track + car + prediction dots."""
+    from vehicle_control_tpu.environment import track as track_mod
+
+    ax = plot_track(sim.track, ax=ax)
+    st = sim.state_traj[name][step]
+    s_i, ey_i = sim.s_index, sim.ey_index
+    epsi_i = {4: 6, 2: 4}[s_i]  # dynamic: epsi at 6; kinematic: at 4
+    x, y, psi = track_mod.rel2glob(
+        sim.track.data, st[s_i], st[ey_i], st[epsi_i]
+    )
+    delta = st[3] if s_i == 4 else st[1]
+    _draw_car(ax, float(x), float(y), float(psi), float(delta))
+    if hasattr(sim, "pred_traj") and name in getattr(sim, "pred_traj", {}):
+        preds = sim._global_preds(name)[step]
+        ax.plot(preds[:, 0], preds[:, 1], ".", ms=3, color="#E16917", zorder=7)
+    return ax
+
+
+def render_racing_gif(sim, path=None, stride=4, fps=20, max_frames=250):
+    """Replay a finished run to a GIF (reference: simulator.py:48-63)."""
+    os.makedirs(os.path.join(sim.src_dir), exist_ok=True)
+    outputs = []
+    for name in sim.state_traj:
+        T = len(sim.state_traj[name])
+        frames = list(range(0, T, stride))[:max_frames]
+        fig, ax = plt.subplots(figsize=(9, 6))
+
+        def update(i):
+            ax.clear()
+            render_racing_frame(sim, name, frames[i], ax=ax)
+            ax.set_title(f"{name} — step {frames[i]}")
+
+        anim = FuncAnimation(fig, update, frames=len(frames))
+        out = path or os.path.join(sim.src_dir, f"{name}_replay.gif")
+        anim.save(out, writer=PillowWriter(fps=fps))
+        plt.close(fig)
+        outputs.append(out)
+    return outputs
+
+
+def plot_race_summary(sim, name, path=None):
+    """Static summary figure: trajectory + speed/steer/force traces
+    (the reference's live side plots, racing.py:322-414, post-hoc)."""
+    st = sim.state_traj[name]
+    ac = sim.action_traj[name]
+    fig = plt.figure(figsize=(14, 8))
+    ax0 = fig.add_subplot(2, 2, (1, 3))
+    render_racing_frame(sim, name, len(st) - 1, ax=ax0)
+    from vehicle_control_tpu.environment import track as track_mod
+
+    s_i, ey_i = sim.s_index, sim.ey_index
+    epsi_i = {4: 6, 2: 4}[s_i]
+    xs, ys, _ = track_mod.rel2glob(
+        sim.track.data, st[:, s_i], st[:, ey_i], st[:, epsi_i]
+    )
+    ax0.plot(np.asarray(xs), np.asarray(ys), color="#007CFF", lw=1.5)
+    t = st[:, sim.t_index]
+    ax1 = fig.add_subplot(2, 2, 2)
+    ax1.plot(t, st[:, sim.speed_index])
+    ax1.set_ylabel("speed [m/s]")
+    ax2 = fig.add_subplot(2, 2, 4)
+    ax2.plot(t, ac[:, 0], label="u0")
+    ax2b = ax2.twinx()
+    ax2b.plot(t, ac[:, 1], color="#E16917", label="u1")
+    ax2.set_xlabel("t [s]")
+    ax2.set_ylabel("u0")
+    ax2b.set_ylabel("u1")
+    out = path or os.path.join(sim.src_dir, f"{name}_summary.png")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    fig.savefig(out, dpi=110, bbox_inches="tight")
+    plt.close(fig)
+    return out
