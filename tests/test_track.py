@@ -123,3 +123,29 @@ def test_ippodromo_builds(ippodromo_track):
     # the k-table spline can undershoot slightly below 0 at ringing spots
     # (the reference's bspline refit does the same); bound magnitude instead
     assert np.min(k) > -0.05 and np.max(k) < 0.2 and np.mean(k) > 0
+
+
+class TestOccupancy:
+    def test_device_occupancy_matches_host(self, ippodromo_track):
+        import numpy as np
+        import jax.numpy as jnp
+        from vehicle_control_tpu.environment.track import occupancy
+
+        t = ippodromo_track
+        rng = np.random.default_rng(3)
+        s = rng.uniform(0, t.length - 1, 64)
+        ey = rng.uniform(-t.width / 2 + 0.02, t.width / 2 - 0.02, 64)
+        host = t.occupancy(s, ey)
+        dev = np.asarray(occupancy(t.data, jnp.asarray(s), jnp.asarray(ey)))
+        np.testing.assert_allclose(dev, host, atol=1e-9)
+
+    def test_occupied_at_obstacle_center(self, ippodromo_track):
+        import jax.numpy as jnp
+        from vehicle_control_tpu.environment.track import occupancy
+
+        t = ippodromo_track
+        if not t.obstacles:
+            return
+        obs = t.obstacles[0]
+        val = float(occupancy(t.data, jnp.asarray(obs.s), jnp.asarray(obs.ey)))
+        assert val >= 1.0

@@ -64,6 +64,10 @@ class TrackData:
     y_coeffs: jnp.ndarray  # (4, n) centerline y(s)
     width: jnp.ndarray  # scalar track width
     obstacles: jnp.ndarray  # (n_obs, 5): cx, cy, s, ey, radius
+    occ_grid: jnp.ndarray  # (n_s, n_ey) binary occupancy over (s, ey)
+    occ_ds: jnp.ndarray  # scalar s spacing of occ_grid
+    occ_ey0: jnp.ndarray  # scalar first ey sample
+    occ_dey: jnp.ndarray  # scalar ey spacing
 
 
 def _horner(coeffs, idx, t):
@@ -119,6 +123,27 @@ def rel2glob(track: TrackData, s, ey, epsi):
     x = x - jnp.sin(psi_c) * ey
     y = y + jnp.cos(psi_c) * ey
     return x, y, wrap(psi_c + epsi)
+
+
+def occupancy(track: TrackData, s, ey):
+    """Bilinear obstacle-occupancy lookup on device (the reference's casadi
+    interpolant over the precomputed grid, track.py:151-153)."""
+    s = jnp.mod(jnp.asarray(s), track.length)
+    ey = jnp.asarray(ey)
+    n_s, n_ey = track.occ_grid.shape
+    fi = jnp.clip(s / track.occ_ds, 0.0, n_s - 1.001)
+    fj = jnp.clip((ey - track.occ_ey0) / track.occ_dey, 0.0, n_ey - 1.001)
+    i = jnp.floor(fi).astype(jnp.int32)
+    j = jnp.floor(fj).astype(jnp.int32)
+    ti = fi - i
+    tj = fj - j
+    g = track.occ_grid
+    return (
+        g[i, j] * (1 - ti) * (1 - tj)
+        + g[i + 1, j] * ti * (1 - tj)
+        + g[i, j + 1] * (1 - ti) * tj
+        + g[i + 1, j + 1] * ti * tj
+    )
 
 
 def obstacle_distances(track: TrackData, s, ey):
@@ -207,6 +232,10 @@ class Track:
             y_coeffs=jnp.asarray(self._y_coeffs),
             width=jnp.asarray(self.width),
             obstacles=jnp.asarray(obs_arr),
+            occ_grid=jnp.asarray(self._occ_grid),
+            occ_ds=jnp.asarray(self._occ_s[1] - self._occ_s[0]),
+            occ_ey0=jnp.asarray(self._occ_ey[0]),
+            occ_dey=jnp.asarray(self._occ_ey[1] - self._occ_ey[0]),
         )
 
     # -- path construction (reference: track.py:254-296) --------------------

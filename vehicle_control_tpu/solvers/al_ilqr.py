@@ -45,6 +45,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from vehicle_control_tpu.solvers.riccati import riccati_backward
+
 
 class OCPFunctions(NamedTuple):
     """The three problem callbacks.  Each takes the stage index ``n`` (traced
@@ -75,6 +77,9 @@ class ALILQRConfig:
     tol_con: float = 1e-4  # constraint-violation tolerance
     armijo: float = 1e-4
     record_trace: bool = False  # also return per-iteration diagnostics
+    unroll: int = 4  # lax.scan unroll for the per-stage sweeps: the stages
+    # are tiny (10x10 blocks), so dispatch overhead dominates a rolled scan
+    # on TPU; unrolling lets XLA fuse several stages per loop iteration
 
 
 class Solution(NamedTuple):
@@ -177,7 +182,7 @@ def build_solver(
                 None,
             )
 
-        acc, _ = lax.scan(body, jnp.zeros(()), ns_range)
+        acc, _ = lax.scan(body, jnp.zeros(()), ns_range, unroll=cfg.unroll)
         return acc
 
     def raw_cost_and_violation(X, U, lam, params):
@@ -188,47 +193,11 @@ def build_solver(
         costs, viols = jax.vmap(per_stage)(ns_range)
         return jnp.sum(costs), jnp.maximum(jnp.max(viols), 0.0)
 
-    # -- Riccati backward pass ------------------------------------------------
+    # -- Riccati backward pass (see solvers/riccati.py) -----------------------
 
     def backward(derivs, rho, nu):
         lz, lu, lzz, luz, luu, A, B = derivs
-        nz = lz.shape[-1]
-        Vx0 = jnp.zeros((nz,), lz.dtype)
-        Vxx0 = jnp.zeros((nz, nz), lz.dtype)
-
-        def bstep(carry, idx):
-            Vx, Vxx, dV1, dV2, fail = carry
-            Qx = lz[idx] + A[idx].T @ Vx
-            Qu = lu[idx] + B[idx].T @ Vx
-            Qxx = lzz[idx] + A[idx].T @ Vxx @ A[idx]
-            Qux = luz[idx] + B[idx].T @ Vxx @ A[idx]
-            Quu = luu[idx] + B[idx].T @ Vxx @ B[idx]
-            Quu = 0.5 * (Quu + Quu.T) + rho * jnp.eye(nu, dtype=Quu.dtype)
-
-            # PD check + solve.  nu is tiny (2 for every vehicle model); use
-            # a Cholesky so arbitrary nu works, flag failure via the diagonal.
-            L = jnp.linalg.cholesky(Quu)
-            bad = jnp.any(jnp.isnan(L)) | jnp.any(jnp.diagonal(L) <= 0)
-            L_safe = jnp.where(bad, jnp.eye(nu, dtype=Quu.dtype), L)
-            rhs = jnp.concatenate([Qu[:, None], Qux], axis=1)
-            sol = jax.scipy.linalg.cho_solve((L_safe, True), rhs)
-            kff = -sol[:, 0]
-            Kfb = -sol[:, 1:]
-
-            Vx_n = Qx + Kfb.T @ Quu @ kff + Kfb.T @ Qu + Qux.T @ kff
-            Vxx_n = Qxx + Kfb.T @ Quu @ Kfb + Kfb.T @ Qux + Qux.T @ Kfb
-            Vxx_n = 0.5 * (Vxx_n + Vxx_n.T)
-            dV1_n = dV1 + kff @ Qu
-            dV2_n = dV2 + 0.5 * kff @ Quu @ kff
-            return (Vx_n, Vxx_n, dV1_n, dV2_n, fail | bad), (kff, Kfb)
-
-        (Vx, Vxx, dV1, dV2, fail), (kffs, Kfbs) = lax.scan(
-            bstep,
-            (Vx0, Vxx0, jnp.zeros(()), jnp.zeros(()), jnp.asarray(False)),
-            ns_range,
-            reverse=True,
-        )
-        return kffs, Kfbs, dV1, dV2, fail
+        return riccati_backward(lz, lu, lzz, luz, luu, A, B, rho, cfg.unroll)
 
     # -- closed-loop forward pass (one line-search candidate) ----------------
 
@@ -242,7 +211,9 @@ def build_solver(
             z_next = fns.dynamics(n, z, u, params)
             return (z_next, acc + cost), (z, u)
 
-        (zH, total), (X, U) = lax.scan(fstep, (z0, jnp.zeros(())), ns_range)
+        (zH, total), (X, U) = lax.scan(
+            fstep, (z0, jnp.zeros(())), ns_range, unroll=cfg.unroll
+        )
         # reject divergent rollouts even if their cost happens to be finite
         diverged = ~jnp.all(jnp.isfinite(X)) | (jnp.max(jnp.abs(X)) > 1e7)
         total = jnp.where(jnp.isfinite(total) & ~diverged, total, jnp.inf)
