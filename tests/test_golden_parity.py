@@ -1,0 +1,58 @@
+"""Golden-fixture parity vs the reference's shipped experiment artifacts
+(SURVEY §4: 'closed-loop golden (vs reference .npy)').
+
+These tests feed the reference's recorded closed-loop states into our
+controllers (configured from the recorded config snapshots) and require the
+produced action sequences to track the reference's IPOPT solutions."""
+
+import os
+
+import pytest
+
+from vehicle_control_tpu.simulation.analysis import action_parity, load_reference_run
+
+REF_DATA = "/root/reference/experiments/data"
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_DATA), reason="reference not mounted")
+class TestCascadedGoldenParity:
+    @pytest.fixture(scope="class")
+    def report(self, ippodromo_track):
+        import jax
+
+        from vehicle_control_tpu.controllers.mpc import problems
+        from vehicle_control_tpu.controllers.mpc.controllers import (
+            _solver_config,
+            initial_carry,
+            make_mpc_step,
+        )
+        from vehicle_control_tpu.utils.config import load_config, project_root
+
+        ref = load_reference_run(os.path.join(REF_DATA, "race1_ippodromo"), "cascaded")
+        carcfg = load_config(
+            os.path.join(project_root(), "configs/models/dynamic_car.yaml")
+        )
+        prob = problems.build_cascaded_problem(
+            carcfg, ippodromo_track, ref.config, tail="pm"
+        )
+        step = jax.jit(make_mpc_step(prob, _solver_config(ref.config)))
+        rep = action_parity(step, initial_carry(prob), ref, n_steps=150)
+        print()
+        print(rep)
+        return rep
+
+    def test_typical_step_agreement(self, report):
+        # median per-step deviation: a few N of ~2500 N RMS force signal,
+        # sub-mrad/s steer rate (measured ~1 N / 1e-4 on the full lap)
+        assert report.median_abs_dev[0] < 30.0  # Fx [N]
+        assert report.median_abs_dev[1] < 2e-3  # w [rad/s]
+
+    def test_sequence_correlation(self, report):
+        assert report.correlation[0] > 0.9
+        assert report.correlation[1] > 0.85
+
+    def test_rms_bounded(self, report):
+        # RMS deviation dominated by a handful of multi-modal curve-entry
+        # steps; must stay well under the signal itself
+        assert report.rms_dev[0] < 0.35 * report.rms_ref[0]
+        assert report.rms_dev[1] < 0.55 * report.rms_ref[1]
