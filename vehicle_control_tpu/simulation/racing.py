@@ -88,11 +88,14 @@ class RacingSimulator:
             project_root(), "experiments", "data", f"{self.name}_{trackconfig['name']}"
         )
         names = list(simconfig.get("controller_names", ["cascaded"]))
+        overrides = simconfig.get("controller_overrides", {}) or {}
         self.entries = {}
         for name in names:
             ctrl_cfg = load_config(_controller_config_path(name))
             # simconfig-level obstacle override (reference: racing.py:53-58)
             ctrl_cfg["obstacles"] = bool(simconfig.get("obstacles", False))
+            for key, val in dict(overrides.get(name, {})).items():
+                ctrl_cfg[key] = val
             problem = _build_problem(name, ctrl_cfg, carconfig, self.track, dtype)
             run_chunk, _ = make_racing_loop(
                 problem,

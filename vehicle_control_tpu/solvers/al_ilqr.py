@@ -45,7 +45,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from vehicle_control_tpu.solvers.riccati import riccati_backward
+from vehicle_control_tpu.solvers.riccati import _mv, riccati_backward
 
 
 class OCPFunctions(NamedTuple):
@@ -204,7 +204,7 @@ def build_solver(
     def forward(alpha, Xref, Uref, kffs, Kfbs, lam, mu, params, z0):
         def fstep(carry, n):
             z, acc = carry
-            u = clamp_u(n, Uref[n] + alpha * kffs[n] + Kfbs[n] @ (z - Xref[n]))
+            u = clamp_u(n, Uref[n] + alpha * kffs[n] + _mv(Kfbs[n], z - Xref[n]))
             cost = fns.stage_cost(n, z, u, params) + _al_penalty(
                 fns.constraints(n, z, u, params), lam[n], mu
             )

@@ -19,6 +19,34 @@ import jax.numpy as jnp
 from jax import lax
 
 
+def _mm(X, Y):
+    """Small-matrix product as broadcast-multiply-reduce.
+
+    ``X @ Y`` on (..., m, k) x (..., k, n) via elementwise ops so that under
+    ``vmap`` over thousands of scenarios XLA lowers to VPU broadcast+reduce
+    instead of MXU ``dot_general`` calls on 10x10 operands (which pad each
+    tiny matrix to the 128x128 systolic array — measured ~6x slower for the
+    whole sweep at batch 1024)."""
+    return jnp.sum(X[..., :, :, None] * Y[..., None, :, :], axis=-2)
+
+
+def _mv(X, v):
+    """(..., m, k) @ (..., k) as broadcast-multiply-reduce."""
+    return jnp.sum(X * v[..., None, :], axis=-1)
+
+
+def _solve2x2(a, b, d, r0, r1):
+    """Solve the symmetric 2x2 system [[a, b], [b, d]] x = r in closed form.
+
+    r0/r1 may carry trailing dims (multiple RHS).  Returns (x0, x1, bad)."""
+    det = a * d - b * b
+    bad = (a <= 0.0) | (det <= 0.0)
+    inv_det = jnp.where(bad, 1.0, 1.0 / jnp.where(bad, 1.0, det))
+    x0 = (d * r0 - b * r1) * inv_det
+    x1 = (a * r1 - b * r0) * inv_det
+    return x0, x1, bad
+
+
 def riccati_backward(lz, lu, lzz, luz, luu, A, B, rho, unroll: int = 4):
     """Backward Riccati sweep.
 
@@ -30,6 +58,10 @@ def riccati_backward(lz, lu, lzz, luz, luu, A, B, rho, unroll: int = 4):
 
     Returns (kffs (H, nu), Kfbs (H, nu, nx), dV1, dV2, fail) where fail flags
     a non-PD Quu at any stage (caller should increase rho).
+
+    All products are written as broadcast-reduce (see :func:`_mm`) and the
+    nu=2 case solves Quu in closed form, so the whole sweep is VPU-only
+    under scenario vmap — no padded tiny-matmul MXU traffic.
     """
     H, nx = lz.shape
     nu = lu.shape[-1]
@@ -39,26 +71,38 @@ def riccati_backward(lz, lu, lzz, luz, luu, A, B, rho, unroll: int = 4):
 
     def bstep(carry, idx):
         Vx, Vxx, dV1, dV2, fail = carry
-        Qx = lz[idx] + A[idx].T @ Vx
-        Qu = lu[idx] + B[idx].T @ Vx
-        Qxx = lzz[idx] + A[idx].T @ Vxx @ A[idx]
-        Qux = luz[idx] + B[idx].T @ Vxx @ A[idx]
-        Quu = luu[idx] + B[idx].T @ Vxx @ B[idx]
-        Quu = 0.5 * (Quu + Quu.T) + rho * jnp.eye(nu, dtype=Quu.dtype)
+        At = A[idx].swapaxes(-1, -2)
+        Bt = B[idx].swapaxes(-1, -2)
+        Qx = lz[idx] + _mv(At, Vx)
+        Qu = lu[idx] + _mv(Bt, Vx)
+        VxxA = _mm(Vxx, A[idx])
+        Qxx = lzz[idx] + _mm(At, VxxA)
+        Qux = luz[idx] + _mm(Bt, VxxA)
+        Quu = luu[idx] + _mm(Bt, _mm(Vxx, B[idx]))
+        Quu = 0.5 * (Quu + Quu.swapaxes(-1, -2)) + rho * jnp.eye(nu, dtype=Quu.dtype)
 
-        L = jnp.linalg.cholesky(Quu)
-        bad = jnp.any(jnp.isnan(L)) | jnp.any(jnp.diagonal(L) <= 0)
-        L_safe = jnp.where(bad, jnp.eye(nu, dtype=Quu.dtype), L)
-        rhs = jnp.concatenate([Qu[:, None], Qux], axis=1)
-        sol = jax.scipy.linalg.cho_solve((L_safe, True), rhs)
+        if nu == 2:
+            a, b, d = Quu[0, 0], Quu[0, 1], Quu[1, 1]
+            rhs = jnp.concatenate([Qu[:, None], Qux], axis=1)  # (2, 1+nx)
+            x0, x1, bad = _solve2x2(a, b, d, rhs[0], rhs[1])
+            sol = jnp.stack([x0, x1], axis=0)
+        else:
+            L = jnp.linalg.cholesky(Quu)
+            bad = jnp.any(jnp.isnan(L)) | jnp.any(jnp.diagonal(L) <= 0)
+            L_safe = jnp.where(bad, jnp.eye(nu, dtype=Quu.dtype), L)
+            rhs = jnp.concatenate([Qu[:, None], Qux], axis=1)
+            sol = jax.scipy.linalg.cho_solve((L_safe, True), rhs)
         kff = -sol[:, 0]
         Kfb = -sol[:, 1:]
 
-        Vx_n = Qx + Kfb.T @ Quu @ kff + Kfb.T @ Qu + Qux.T @ kff
-        Vxx_n = Qxx + Kfb.T @ Quu @ Kfb + Kfb.T @ Qux + Qux.T @ Kfb
-        Vxx_n = 0.5 * (Vxx_n + Vxx_n.T)
+        Kt = Kfb.swapaxes(-1, -2)
+        QuuK = _mm(Quu, Kfb)
+        Quuk = _mv(Quu, kff)
+        Vx_n = Qx + _mv(Kt, Quuk) + _mv(Kt, Qu) + _mv(Qux.swapaxes(-1, -2), kff)
+        Vxx_n = Qxx + _mm(Kt, QuuK) + _mm(Kt, Qux) + _mm(Qux.swapaxes(-1, -2), Kfb)
+        Vxx_n = 0.5 * (Vxx_n + Vxx_n.swapaxes(-1, -2))
         dV1_n = dV1 + kff @ Qu
-        dV2_n = dV2 + 0.5 * kff @ Quu @ kff
+        dV2_n = dV2 + 0.5 * kff @ Quuk
         return (Vx_n, Vxx_n, dV1_n, dV2_n, fail | bad), (kff, Kfb)
 
     (Vx, Vxx, dV1, dV2, fail), (kffs, Kfbs) = lax.scan(
