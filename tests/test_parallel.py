@@ -90,3 +90,28 @@ class TestShardedScenarios:
         ds = np.asarray(states[:, 2]) - s0
         assert np.all(ds > 0.5)  # every scenario advanced along the track
         assert float(stats.max_violation) < 1.0
+
+
+class TestDistributedSingleHost:
+    def test_global_mesh_path(self, setup):
+        """Multi-host API degrades to the local mesh on one process."""
+        from vehicle_control_tpu.parallel import distributed as dist
+
+        prob, cfg, temporal, track = setup
+        mesh, step = dist.make_global_sharded_step(
+            prob, cfg, temporal, track.data, 0.05, 2
+        )
+        B = 16
+        local, sl = dist.host_local_batch(B)
+        assert local == B and sl == slice(0, B)  # single process owns all
+        states = dist.make_global_array(mesh, np.asarray(_states(B)))
+        from vehicle_control_tpu.parallel import tile_carry
+        import jax
+
+        carries = jax.tree.map(
+            lambda a: dist.make_global_array(mesh, np.asarray(a)),
+            tile_carry(prob, B),
+        )
+        carries, states2, actions, stats = step(carries, states)
+        assert int(stats.n_total) == B
+        assert states2.shape == states.shape

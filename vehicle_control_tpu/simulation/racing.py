@@ -147,7 +147,30 @@ class RacingSimulator:
         self._finalize()
         if self.config.get("save_data", False):
             self.save()
+        if self.config.get("logging", False):
+            self._write_log()
         return self
+
+    def _write_log(self):
+        """Run log with summary + solver health (the reference redirects
+        stdout to experiments/logs, simulator.py:39-43; we write the same
+        information post-hoc without gating the loop)."""
+        from vehicle_control_tpu.utils.profiling import solver_stats
+
+        log_dir = os.path.join(project_root(), "experiments", "logs")
+        os.makedirs(log_dir, exist_ok=True)
+        path = os.path.join(log_dir, f"{self.name}.log")
+        with open(path, "w") as fh:
+            fh.write(self.summarize() + "\n")
+            for name in self.violation_traj:
+                iters = np.zeros_like(self.violation_traj[name])
+                stats = solver_stats(
+                    self.violation_traj[name],
+                    iters,
+                    self.violation_traj[name] < 1e-2,
+                )
+                fh.write(f"{name} solver: {stats}\n")
+        return path
 
     def _finalize(self):
         self.state_traj = {}

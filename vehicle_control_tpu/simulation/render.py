@@ -145,3 +145,41 @@ def plot_race_summary(sim, name, path=None):
     fig.savefig(out, dpi=110, bbox_inches="tight")
     plt.close(fig)
     return out
+
+
+def render_tracking_gif(run, path="experiments/videos/tracking.gif", fps=20, stride=2):
+    """Animate a trajectory-tracking run: robot (circle + heading), reference
+    point, error trace (reference: trajectory_tracking.py:63-177)."""
+    import numpy as np
+
+    states = np.asarray(run.states)
+    p_ref = np.asarray(run.p_ref)
+    e_p = np.asarray(run.e_p)
+    frames = list(range(0, len(states), stride))
+    fig, (ax, ax_e) = plt.subplots(
+        1, 2, figsize=(11, 5), gridspec_kw={"width_ratios": [3, 2]}
+    )
+
+    def update(i):
+        f = frames[i]
+        ax.clear()
+        ax.plot(p_ref[: f + 1, 0], p_ref[: f + 1, 1], "--", color="0.6")
+        ax.plot(states[: f + 1, 0], states[: f + 1, 1], color="#007CFF", lw=1.5)
+        x, y, psi = states[f, 0], states[f, 1], states[f, 2]
+        ax.add_patch(CirclePatch((x, y), 0.08, color="#007CFF"))
+        ax.plot(
+            [x, x + 0.2 * np.cos(psi)], [y, y + 0.2 * np.sin(psi)], color="k", lw=2
+        )
+        ax.plot(*p_ref[f], "o", ms=6, color="#E16917")
+        ax.set_aspect("equal")
+        ax.set_title(f"t = {states[f, 3]:.2f} s")
+        ax_e.clear()
+        ax_e.plot(states[: f + 1, 3], np.linalg.norm(e_p[: f + 1], axis=-1))
+        ax_e.set_xlabel("t [s]")
+        ax_e.set_ylabel("|e_p| [m]")
+
+    anim = FuncAnimation(fig, update, frames=len(frames))
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    anim.save(path, writer=PillowWriter(fps=fps))
+    plt.close(fig)
+    return path
