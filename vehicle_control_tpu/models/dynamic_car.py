@@ -273,3 +273,26 @@ class DynamicCar:
             STATE.get(state, "ey"),
             STATE.get(state, "epsi"),
         )
+
+
+def diagnostics(x, u, p: DynamicCarParams):
+    """Tire-force / slip diagnostics (the reference's debug ``print``,
+    dynamic_car.py:20-47, as data instead of stdout)."""
+    Ux, Uy, r, delta = x[..., 0], x[..., 1], x[..., 2], x[..., 3]
+    Fx = u[..., 0]
+    af = alpha_f(Ux, Uy, r, delta, p)
+    ar = alpha_r(Ux, Uy, r, delta, p)
+    return {
+        "Fx_f": Fx_f(Fx, p),
+        "Fx_r": Fx_r(Fx, p),
+        "Fy_f": Fy_f(Ux, Uy, r, delta, Fx, p),
+        "Fy_r": Fy_r(Ux, Uy, r, delta, Fx, p),
+        "Fz_f": Fz_f(Ux, Fx, p),
+        "Fz_r": Fz_r(Ux, Fx, p),
+        "alpha_f": af,
+        "alpha_r": ar,
+        "alphamod_f": alphamod_f(Fx, Ux, p),
+        "alphamod_r": alphamod_r(Fx, Ux, p),
+        "slipping_f": jnp.abs(af) - alphamod_f(Fx, Ux, p),
+        "slipping_r": jnp.abs(ar) - alphamod_r(Fx, Ux, p),
+    }

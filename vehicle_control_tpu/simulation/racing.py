@@ -211,6 +211,13 @@ class RacingSimulator:
         print(text)
         return text
 
+    def save_animation(self, **kwargs):
+        """Render replay GIFs from the finished run
+        (reference: simulator.py:48-63, decoupled from the loop)."""
+        from vehicle_control_tpu.simulation.render import render_racing_gif
+
+        return render_racing_gif(self, **kwargs)
+
     # -- persistence (reference layout: racing.py:441-459) --------------------
 
     def save(self, path: str | None = None):

@@ -183,3 +183,30 @@ def render_tracking_gif(run, path="experiments/videos/tracking.gif", fps=20, str
     anim.save(path, writer=PillowWriter(fps=fps))
     plt.close(fig)
     return path
+
+
+def plot_slip_angles(sim, name, path=None):
+    """Slip-angle diagnostics figure: alpha vs alphamod front/rear over the
+    lap (the reference's slip_angle_plot live mode, racing.py:108-215)."""
+    from vehicle_control_tpu.models import dynamic_car as dc
+    import jax.numpy as jnp
+
+    st = sim.state_traj[name]
+    ac = sim.action_traj[name]
+    p = dc.DynamicCarParams.from_config(sim.car_config)
+    d = dc.diagnostics(jnp.asarray(st), jnp.asarray(ac), p)
+    t = st[:, sim.t_index]
+    fig, axes = plt.subplots(2, 1, figsize=(10, 6), sharex=True)
+    for ax, side in zip(axes, ("f", "r")):
+        ax.plot(t, np.rad2deg(np.asarray(d[f"alpha_{side}"])), label=rf"$\alpha_{side}$")
+        am = np.rad2deg(np.asarray(d[f"alphamod_{side}"]))
+        ax.plot(t, am, "--", color="crimson", label=rf"$\alpha_{{mod,{side}}}$")
+        ax.plot(t, -am, "--", color="crimson")
+        ax.set_ylabel("deg")
+        ax.legend(loc="upper right")
+    axes[1].set_xlabel("t [s]")
+    out = path or os.path.join(sim.src_dir, f"{name}_slip_angles.png")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    fig.savefig(out, dpi=110, bbox_inches="tight")
+    plt.close(fig)
+    return out
