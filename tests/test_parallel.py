@@ -115,3 +115,40 @@ class TestDistributedSingleHost:
         carries, states2, actions, stats = step(carries, states)
         assert int(stats.n_total) == B
         assert states2.shape == states.shape
+
+
+class TestSweepCheckpoint:
+    def test_roundtrip_continues_identically(self, setup, tmp_path):
+        import jax
+
+        from vehicle_control_tpu.parallel import (
+            make_batched_racing_step,
+            tile_carry,
+        )
+        from vehicle_control_tpu.utils.checkpoint import (
+            load_sweep_checkpoint,
+            save_sweep_checkpoint,
+        )
+
+        prob, cfg, temporal, track = setup
+        B = 8
+        step = jax.jit(
+            make_batched_racing_step(prob, cfg, temporal, track.data, 0.05, 2)
+        )
+        carries = tile_carry(prob, B)
+        states = _states(B)
+        for _ in range(3):
+            carries, states, actions, infos = step(carries, states)
+        path = save_sweep_checkpoint(str(tmp_path / "ck.npz"), 3, carries, states)
+
+        # continue directly
+        c_direct, s_direct = carries, states
+        c_direct, s_direct, a_direct, _ = step(c_direct, s_direct)
+
+        # restore + continue
+        n, c_rest, s_rest, _ = load_sweep_checkpoint(path, carries, states)
+        assert n == 3
+        c_rest = jax.tree.map(jnp.asarray, c_rest)
+        c2, s2, a2, _ = step(c_rest, jnp.asarray(s_rest))
+        np.testing.assert_allclose(np.asarray(s2), np.asarray(s_direct), atol=1e-12)
+        np.testing.assert_allclose(np.asarray(a2), np.asarray(a_direct), atol=1e-12)

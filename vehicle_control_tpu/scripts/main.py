@@ -32,7 +32,12 @@ def main():
     )
     carconfig = load_config(os.path.join(root, "configs/models/dynamic_car.yaml"))
     sim = RacingSimulator(simconfig, carconfig, trackconfig)
-    sim.run(max_steps=args.steps)
+    if simconfig.get("load", False):
+        # replay a saved run instead of re-simulating (reference:
+        # simconfig.load, simulator.py:24-27 / racing.py:452-459)
+        sim.load()
+    else:
+        sim.run(max_steps=args.steps)
     sim.summarize()
     if simconfig.get("save_gif", False):
         from vehicle_control_tpu.simulation.render import render_racing_gif
