@@ -37,8 +37,13 @@ BASELINE_SOLVES_PER_S = 1000.0 / 55.7  # reference singletrack p50
 
 def main():
     platform = jax.devices()[0].platform
-    B = int(os.environ.get("BENCH_BATCH", 4096 if platform == "tpu" else 32))
-    K = int(os.environ.get("BENCH_STEPS", 5))
+    mode = os.environ.get("BENCH_MODE", "throughput")  # or "latency"
+    if mode == "latency":
+        B = 1
+        K = int(os.environ.get("BENCH_STEPS", 50))
+    else:
+        B = int(os.environ.get("BENCH_BATCH", 4096 if platform == "tpu" else 32))
+        K = int(os.environ.get("BENCH_STEPS", 5))
     N = int(os.environ.get("BENCH_HORIZON", 30))
     dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16, "f64": jnp.float64}[
         os.environ.get("BENCH_DTYPE", "f32")
@@ -90,21 +95,32 @@ def main():
     solves_per_s = B / np.median(times)
     conv = float(jnp.mean(infos.converged.astype(jnp.float32)))
 
-    print(
-        json.dumps(
-            {
-                "metric": f"MPC solves/s/chip, dynamic bicycle N={N}",
-                "value": round(float(solves_per_s), 1),
-                "unit": "solves/s",
-                "vs_baseline": round(float(solves_per_s / BASELINE_SOLVES_PER_S), 2),
-                "batch": B,
-                "step_ms": round(step_ms, 2),
-                "converged_frac": round(conv, 4),
-                "platform": platform,
-                "dtype": os.environ.get("BENCH_DTYPE", "f32"),
-            }
-        )
-    )
+    if mode == "latency":
+        # reference singletrack p50 is 55.7 ms; real-time budget 50 ms
+        out = {
+            "metric": f"MPC p50 solve latency, dynamic bicycle N={N}, single scenario",
+            "value": round(step_ms, 2),
+            "unit": "ms",
+            "vs_baseline": round(55.7 / step_ms, 2),
+            "p95_ms": round(float(np.percentile(np.asarray(times) * 1e3, 95)), 2),
+            "meets_50ms_budget": bool(step_ms < 50.0),
+            "converged_frac": round(conv, 4),
+            "platform": platform,
+            "dtype": os.environ.get("BENCH_DTYPE", "f32"),
+        }
+    else:
+        out = {
+            "metric": f"MPC solves/s/chip, dynamic bicycle N={N}",
+            "value": round(float(solves_per_s), 1),
+            "unit": "solves/s",
+            "vs_baseline": round(float(solves_per_s / BASELINE_SOLVES_PER_S), 2),
+            "batch": B,
+            "step_ms": round(step_ms, 2),
+            "converged_frac": round(conv, 4),
+            "platform": platform,
+            "dtype": os.environ.get("BENCH_DTYPE", "f32"),
+        }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
