@@ -1,0 +1,126 @@
+"""Pallas line-search kernel vs the XLA path (interpret mode on CPU)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vehicle_control_tpu.controllers.mpc import problems
+from vehicle_control_tpu.controllers.mpc.controllers import initial_carry
+from vehicle_control_tpu.solvers.al_ilqr import _al_penalty, rollout
+from vehicle_control_tpu.solvers.rollout_kernel import B_TILE, build_linesearch_kernel
+from vehicle_control_tpu.utils.config import load_config, project_root
+
+
+def _cfg(rel):
+    return load_config(os.path.join(project_root(), "configs", rel))
+
+
+@pytest.fixture(scope="module")
+def setup(ippodromo_track):
+    cfg = dict(_cfg("controllers/singletrack.yaml"), obstacles=False)
+    cfg["horizon"] = 8
+    prob = problems.build_cascaded_problem(
+        _cfg("models/dynamic_car.yaml"), ippodromo_track, cfg, "none", jnp.float32
+    )
+    return prob
+
+
+def _data(prob, B):
+    rng = np.random.default_rng(0)
+    H, nz, nu, nc = prob.horizon, prob.nz, prob.nu, prob.nc
+    z0 = np.zeros((B, nz - 2), np.float32)  # physical model state
+    z0[:, 0] = 5.0 + rng.uniform(0, 8, B)
+    z0[:, 4] = rng.uniform(0, 250, B)
+    U = (rng.normal(size=(B, H, nu)) * 0.05).astype(np.float32)
+    c0 = initial_carry(prob, jnp.float32)
+    pv, zv = jax.vmap(prob.init_horizon, in_axes=(0, None, None))(
+        jnp.asarray(z0), c0.X_pred, c0.U_pred
+    )
+    Xb = jax.vmap(lambda p_, z_, u_: rollout(prob.fns, p_, z_, u_)[0])(
+        pv, zv, jnp.asarray(U)
+    )
+    kff = (rng.normal(size=(B, H, nu)) * 0.02).astype(np.float32)
+    Kfb = (rng.normal(size=(B, H, nu, nz)) * 0.01).astype(np.float32)
+    lam = np.abs(rng.normal(size=(B, H, nc)) * 0.1).astype(np.float32)
+    mu = np.full((B,), 10.0, np.float32)
+    return (
+        Xb,
+        jnp.asarray(U),
+        jnp.asarray(kff),
+        jnp.asarray(Kfb),
+        jnp.asarray(lam),
+        jnp.asarray(mu),
+        pv,
+        zv,
+    )
+
+
+def _xla_reference(prob, alphas, Xref, Uref, kff, Kfb, lam, mu, params, z0):
+    fns = prob.fns
+    H = prob.horizon
+
+    def fwd_one(alpha, Xr, Ur, kf, Kf, lm, m, pp, zz):
+        def fstep(carry, n):
+            z, acc = carry
+            u = jnp.clip(
+                Ur[n] + alpha * kf[n] + Kf[n] @ (z - Xr[n]),
+                prob.u_lo[n],
+                prob.u_hi[n],
+            )
+            cost = fns.stage_cost(n, z, u, pp) + _al_penalty(
+                fns.constraints(n, z, u, pp), lm[n], m
+            )
+            z2 = fns.dynamics(n, z, u, pp)
+            return (z2, acc + cost), (z, u)
+
+        (zH, tot), (X, U) = jax.lax.scan(
+            fstep, (zz, jnp.zeros((), jnp.float32)), jnp.arange(H)
+        )
+        return X, U, tot
+
+    f = jax.vmap(
+        jax.vmap(fwd_one, in_axes=(0,) + (None,) * 8),
+        in_axes=(None,) + (0,) * 8,
+    )
+    X, U, c = f(alphas, Xref, Uref, kff, Kfb, lam, mu, params, z0)
+    # reorder to kernel layout (A, B, ...)
+    return (
+        jnp.swapaxes(X, 0, 1),
+        jnp.swapaxes(U, 0, 1),
+        jnp.swapaxes(c, 0, 1),
+    )
+
+
+class TestLinesearchKernel:
+    def test_matches_xla_path(self, setup):
+        prob = setup
+        alphas = jnp.asarray([1.0, 0.25, 0.01], jnp.float32)
+        B = B_TILE  # one tile
+        Xref, Uref, kff, Kfb, lam, mu, pv, zv = _data(prob, B)
+        run = build_linesearch_kernel(
+            prob.fns,
+            prob.horizon,
+            prob.nz,
+            prob.nu,
+            prob.nc,
+            prob.u_lo,
+            prob.u_hi,
+            alphas,
+            problems.HorizonParams,
+        )
+        Xc, Uc, costs = run(
+            Xref, Uref, kff, Kfb, lam, mu, pv.curvature, pv.ds, zv, interpret=True
+        )
+        Xr, Ur, cr = _xla_reference(
+            prob, alphas, Xref, Uref, kff, Kfb, lam, mu, pv, zv
+        )
+        np.testing.assert_allclose(np.asarray(Xc), np.asarray(Xr), rtol=2e-5, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(Uc), np.asarray(Ur), rtol=2e-5, atol=2e-4)
+        finite = np.isfinite(np.asarray(cr))
+        np.testing.assert_allclose(
+            np.asarray(costs)[finite], np.asarray(cr)[finite], rtol=2e-4, atol=2e-3
+        )
+        assert np.isfinite(np.asarray(costs)).mean() > 0.5

@@ -122,24 +122,28 @@ def _boundary(ey, ds, w, ey_min, ey_max):
 def _obstacle_barrier(obstacles, s, ey, ds, w):
     """sum_i w*ds/(dist_i - (r_i+0.1)), floored (reference: cascaded_mpc.py:173-177)."""
     if obstacles.shape[0] == 0:
-        return jnp.zeros(())
+        return jnp.zeros(jnp.shape(s))
+    s = jnp.asarray(s)[..., None]
+    ey = jnp.asarray(ey)[..., None]
     dist = jnp.sqrt((s - obstacles[:, 2]) ** 2 + (ey - obstacles[:, 3]) ** 2)
     den = jnp.maximum(dist - (obstacles[:, 4] + 0.1), OBSTACLE_EPS)
-    return jnp.sum(w * ds / den)
+    return jnp.sum(w * jnp.asarray(ds)[..., None] / den, axis=-1)
 
 
 def _obstacle_barrier_kc(obstacles, s, ey, ds, stage_idx):
     """ds/((n+1)*|dist - r|) (reference: cascaded_kinematic_mpc.py:183-188,255-260)."""
     if obstacles.shape[0] == 0:
-        return jnp.zeros(())
+        return jnp.zeros(jnp.shape(s))
+    s = jnp.asarray(s)[..., None]
+    ey = jnp.asarray(ey)[..., None]
     dist = jnp.sqrt((s - obstacles[:, 2]) ** 2 + (ey - obstacles[:, 3]) ** 2)
     den = jnp.maximum(jnp.abs(dist - obstacles[:, 4]), OBSTACLE_EPS)
-    return jnp.sum(ds / ((stage_idx + 1.0) * den))
+    return jnp.sum(jnp.asarray(ds)[..., None] / ((stage_idx + 1.0) * den), axis=-1)
 
 
 def _slip_penalty(x, Fx, p, w_slip):
     """Soft slip-angle penalty, front + rear (reference: cascaded_mpc.py:155-165)."""
-    Ux, Uy, r, delta = x[0], x[1], x[2], x[3]
+    Ux, Uy, r, delta = x[..., 0], x[..., 1], x[..., 2], x[..., 3]
     ta_f = jnp.abs(jnp.tan(dc.alpha_f(Ux, Uy, r, delta, p)))
     tam_f = jnp.tan(dc.alphamod_f(Fx, Ux, p))
     ta_r = jnp.abs(jnp.tan(dc.alpha_r(Ux, Uy, r, delta, p)))
@@ -155,7 +159,7 @@ def _st_constraints(x, Fx, w_act, p, cons_in, cons_st):
     Order: Ux_min, delta box (2), engine power, w box (2), friction front (2),
     friction rear (2) — forces scaled to kN.
     """
-    Ux, Uy, r, delta = x[0], x[1], x[2], x[3]
+    Ux, Uy, r, delta = x[..., 0], x[..., 1], x[..., 2], x[..., 3]
     fs = 1.0 / FORCE_SCALE
     bound_f = p.mu_f * dc.Fz_f(Ux, Fx, p) * jnp.cos(dc.alpha_f(Ux, Uy, r, delta, p))
     bound_r = p.mu_r * dc.Fz_r(Ux, Fx, p) * jnp.cos(dc.alpha_r(Ux, Uy, r, delta, p))
@@ -173,7 +177,8 @@ def _st_constraints(x, Fx, w_act, p, cons_in, cons_st):
             (-fxf - bound_f) * fs,
             (fxr - bound_r) * fs,
             (-fxr - bound_r) * fs,
-        ]
+        ],
+        axis=-1,
     )
 
 
@@ -182,13 +187,24 @@ def _st_constraints(x, Fx, w_act, p, cons_in, cons_st):
 # ---------------------------------------------------------------------------
 
 
+def _floatify(params):
+    """Dataclass copy with plain-float fields: arithmetic inlines them as
+    literals, so problem closures capture no array constants (a requirement
+    for running inside Pallas kernels)."""
+    import dataclasses as _dc
+
+    return type(params)(
+        **{f.name: float(getattr(params, f.name)) for f in _dc.fields(params)}
+    )
+
+
 def build_cascaded_problem(
     car_config, track: "track_mod.Track", cfg, tail: str = "pm", dtype=jnp.float64
 ) -> MPCProblem:
     """Cascaded MPC problem (reference: cascaded_mpc.py /
     cascaded_kinematic_mpc.py).  ``tail``: "pm", "kc", or "none"
     (single-track-only, the `singletrack.yaml` M=0 configuration)."""
-    p = dc.DynamicCarParams.from_config(car_config)
+    p = _floatify(dc.DynamicCarParams.from_config(car_config))
     track_data = track.data
     N = int(cfg["horizon"])
     if tail == "pm":
@@ -230,7 +246,7 @@ def build_cascaded_problem(
         )
     elif tail == "kc":
         cons_tail = {k: float(v) for k, v in cfg["state_kc_constraints"].items()}
-        kc_p = kc.KinematicCarParams(l=jnp.asarray(float(car_config["car"]["l"])))
+        kc_p = kc.KinematicCarParams(l=float(car_config["car"]["l"]))
         tail_spatial = euler(
             _regularized_spatial(
                 lambda x, u, k: kc.temporal_ode(x, u, k, kc_p),
@@ -246,23 +262,34 @@ def build_cascaded_problem(
         cons_tail = None
         tail_spatial = None
 
-    # static per-stage masks
-    idx = np.arange(H)
-    m_st_dyn = jnp.asarray(idx < N - 1)
-    m_seam = jnp.asarray((idx == N - 1) & (M > 0))
-    m_st_cost = jnp.asarray(idx < N, dtype)
-    m_switch = jnp.asarray((idx == N) & (N > 0) & (M > 0), dtype)
-    m_tail_cost = jnp.asarray(idx >= N, dtype)
-    m_term = jnp.asarray(idx == H - 1, dtype)
-    m_st_slew = jnp.asarray((idx >= 1) & (idx < N), dtype)
+    # Per-stage masks computed from the (traced) stage index rather than
+    # looked up from constant arrays: no gathers, and the closures capture no
+    # array constants (so they run unchanged inside Pallas kernels).
+    m_st_dyn = lambda n: n < N - 1
+    m_seam = lambda n: (n == N - 1) & (M > 0)
+    m_st_cost = lambda n: n < N
+    m_switch = lambda n: (n == N) & (N > 0) & (M > 0)
+    m_tail_cost = lambda n: n >= N
+    m_term = lambda n: n == H - 1
+    m_st_slew = lambda n: (n >= 1) & (n < N)
     if tail == "kc":
         # replicates the reference's `if k < self.K - 1` with k the *global*
         # stage index (cascaded_kinematic_mpc.py:249-252): slew only while
         # n-1 < K-1, K = horizon_kc
-        m_tail_slew = jnp.asarray((idx >= N + 1) & (idx - 1 < int(cfg["horizon_kc"]) - 1), dtype)
+        _K = int(cfg["horizon_kc"])
+        m_tail_slew = lambda n: (n >= N + 1) & (n - 1 < _K - 1)
     else:
-        m_tail_slew = jnp.asarray(idx >= N + 1, dtype)
-    m_st_con = jnp.asarray(idx < N)
+        m_tail_slew = lambda n: n >= N + 1
+    m_st_con = lambda n: n < N
+
+    def u_scale_at(n):
+        # (nu,)-vector of action scales at stage n, computed (not gathered)
+        # from the traced index so closures capture no constant arrays
+        if tail == "pm":
+            u1 = jnp.where(n < N, 1.0, FORCE_SCALE).astype(dtype)
+        else:
+            u1 = jnp.asarray(1.0, dtype)
+        return jnp.stack([jnp.full_like(u1, FORCE_SCALE), u1])
 
     u_scale_np = np.ones((H, nu))
     u_scale_np[:, 0] = FORCE_SCALE  # Fx in kN at every stage
@@ -271,60 +298,68 @@ def build_cascaded_problem(
     u_scale = jnp.asarray(u_scale_np, dtype)
 
     def dynamics(n, z, u, params):
-        x = z[:8]
-        u_phys = u * u_scale[n]
-        kv = params.curvature[n]
-        dsn = params.ds[n]
+        # batch-polymorphic: z may be (nz,) or (..., nz)
+        x = z[..., :8]
+        u_phys = u * u_scale_at(n)
+        kv = params.curvature[..., n]
+        dsn = params.ds[..., n]
         st_next = st_spatial(x, u_phys, kv, dsn)
 
         if tail == "none":
             next8 = st_next
         else:
-            Ux, Uy, r, delta, s, ey, epsi, t = [x[i] for i in range(8)]
+            Ux, Uy, r, delta, s, ey, epsi, t = [x[..., i] for i in range(8)]
             V = jnp.sqrt(Ux**2 + Uy**2)
             beta = jnp.arctan(safe_div(Uy, Ux))
+            zero = jnp.zeros_like(V)
             if tail == "pm":
                 # switching equalities (reference: cascaded_mpc.py:256-277) +
                 # lateral-force stash for the switching cost (:241-254)
-                fy_tot = dc.Fy_f(Ux, Uy, r, delta, u_phys[0], p) + dc.Fy_r(
-                    Ux, Uy, r, delta, u_phys[0], p
+                Fx_p = u_phys[..., 0]
+                fy_tot = dc.Fy_f(Ux, Uy, r, delta, Fx_p, p) + dc.Fy_r(
+                    Ux, Uy, r, delta, Fx_p, p
                 )
                 seam_next = jnp.stack(
-                    [V, s, ey, beta + epsi, t, fy_tot, jnp.zeros(()), jnp.zeros(())]
+                    [V, s, ey, beta + epsi, t, fy_tot, zero, zero], axis=-1
                 )
-                tail5 = tail_spatial(x[:5], u_phys, kv, dsn)
-                tail_next = jnp.concatenate([tail5, jnp.zeros((3,), x.dtype)])
+                tail5 = tail_spatial(x[..., :5], u_phys, kv, dsn)
+                tail_next = jnp.concatenate(
+                    [tail5, jnp.zeros(x.shape[:-1] + (3,), x.dtype)], axis=-1
+                )
             else:  # kc
                 # switching equalities incl. delta continuity (reference:
                 # cascaded_kinematic_mpc.py:278-305) + accel-magnitude stash
                 # computed with the PREVIOUS action (reference uses
-                # action[:, N-2] at :264-276) carried in z[8:10]
-                uprev_phys = z[8:] * u_scale[jnp.maximum(n - 1, 0)]
+                # action[:, N-2] at :264-276) carried in z[..., 8:10]
+                uprev_phys = z[..., 8:] * u_scale_at(jnp.maximum(n - 1, 0))
                 xdot = dc.temporal_ode(x, uprev_phys, jnp.zeros(()), p)
-                a_final = jnp.sqrt(xdot[0] ** 2 + xdot[1] ** 2)
+                a_final = jnp.sqrt(xdot[..., 0] ** 2 + xdot[..., 1] ** 2)
                 seam_next = jnp.stack(
-                    [V, delta, s, ey, beta + epsi, t, a_final, uprev_phys[1]]
+                    [V, delta, s, ey, beta + epsi, t, a_final, uprev_phys[..., 1]],
+                    axis=-1,
                 )
-                tail6 = tail_spatial(x[:6], u_phys, kv, dsn)
-                tail_next = jnp.concatenate([tail6, jnp.zeros((2,), x.dtype)])
+                tail6 = tail_spatial(x[..., :6], u_phys, kv, dsn)
+                tail_next = jnp.concatenate(
+                    [tail6, jnp.zeros(x.shape[:-1] + (2,), x.dtype)], axis=-1
+                )
             next8 = jnp.where(
-                m_st_dyn[n], st_next, jnp.where(m_seam[n], seam_next, tail_next)
+                m_st_dyn(n), st_next, jnp.where(m_seam(n), seam_next, tail_next)
             )
-        return jnp.concatenate([next8, u])
+        return jnp.concatenate([next8, u], axis=-1)
 
     def st_cost(n, z, u_phys, params):
-        x = z[:8]
-        ey, s, w_act, Fx = x[5], x[4], u_phys[1], u_phys[0]
-        dsn = params.ds[n]
+        x = z[..., :8]
+        ey, s, w_act, Fx = x[..., 5], x[..., 4], u_phys[..., 1], u_phys[..., 0]
+        dsn = params.ds[..., n]
         cost = _boundary(ey, dsn, w["boundary"], cons_st["ey_min"], cons_st["ey_max"])
         cost += w["deviation_st"] * dsn * ey**2
         cost += w["w"] * w_act**2
         cost += _slip_penalty(x, Fx, p, w["slip"])
         # Fx slew vs previous action (reference: cascaded_mpc.py:167-171 uses
         # ds[n] with the *forward* difference; shifted here => ds[n-1])
-        ds_prev = params.ds[jnp.maximum(n - 1, 0)]
-        Fx_prev = z[8] * u_scale[jnp.maximum(n - 1, 0), 0]
-        cost += m_st_slew[n] * (w["Fx"] / ds_prev) * (Fx - Fx_prev) ** 2
+        ds_prev = params.ds[..., jnp.maximum(n - 1, 0)]
+        Fx_prev = z[..., 8] * u_scale_at(jnp.maximum(n - 1, 0))[0]
+        cost += m_st_slew(n) * (w["Fx"] / ds_prev) * (Fx - Fx_prev) ** 2
         if obstacles_on:
             if tail == "kc":
                 cost += _obstacle_barrier_kc(obstacles, s, ey, dsn, n.astype(dtype))
@@ -333,46 +368,47 @@ def build_cascaded_problem(
         return cost
 
     def pm_cost(n, z, u_phys, params):
-        V, s, ey = z[0], z[1], z[2]
-        dsn = params.ds[n]
+        V, s, ey = z[..., 0], z[..., 1], z[..., 2]
+        dsn = params.ds[..., n]
         cost = _boundary(ey, dsn, w["boundary"], cons_tail["ey_min"], cons_tail["ey_max"])
         cost += w["deviation_pm"] * dsn * ey**2
-        ds_prev = params.ds[jnp.maximum(n - 1, 0)]
-        uprev_phys = z[8:] * u_scale[jnp.maximum(n - 1, 0)]
-        slew = (w["Fx"] / ds_prev) * (u_phys[0] - uprev_phys[0]) ** 2
-        slew += (w["Fy"] / ds_prev) * (u_phys[1] - uprev_phys[1]) ** 2
-        cost += m_tail_slew[n] * slew
+        ds_prev = params.ds[..., jnp.maximum(n - 1, 0)]
+        uprev_phys = z[..., 8:] * u_scale_at(jnp.maximum(n - 1, 0))
+        slew = (w["Fx"] / ds_prev) * (u_phys[..., 0] - uprev_phys[..., 0]) ** 2
+        slew += (w["Fy"] / ds_prev) * (u_phys[..., 1] - uprev_phys[..., 1]) ** 2
+        cost += m_tail_slew(n) * slew
         if obstacles_on:
             cost += _obstacle_barrier(obstacles, s, ey, dsn, w["obstacles"])
         return cost
 
     def kc_cost(n, z, u_phys, params):
-        v, delta, s, ey = z[0], z[1], z[2], z[3]
-        a_act, w_act = u_phys[0], u_phys[1]
-        dsn = params.ds[n]
+        v, delta, s, ey = z[..., 0], z[..., 1], z[..., 2], z[..., 3]
+        a_act, w_act = u_phys[..., 0], u_phys[..., 1]
+        dsn = params.ds[..., n]
         cost = _boundary(ey, dsn, w["boundary"], cons_tail["ey_min"], cons_tail["ey_max"])
         cost += w["deviation_kc"] * dsn * ey**2
         cost += w["w_kc"] * w_act**2
-        uprev_phys = z[8:] * u_scale[jnp.maximum(n - 1, 0)]
-        cost += m_tail_slew[n] * w["a"] * (a_act - uprev_phys[0]) ** 2
+        uprev_phys = z[..., 8:] * u_scale_at(jnp.maximum(n - 1, 0))
+        cost += m_tail_slew(n) * w["a"] * (a_act - uprev_phys[..., 0]) ** 2
         if obstacles_on:
             cost += _obstacle_barrier_kc(obstacles, s, ey, dsn, n.astype(dtype))
         return cost
 
     def switch_cost(n, z, u_phys, params):
-        uprev_phys = z[8:] * u_scale[jnp.maximum(n - 1, 0)]
+        uprev_phys = z[..., 8:] * u_scale_at(jnp.maximum(n - 1, 0))
         if tail == "pm":
             # force continuity at the handoff (reference: cascaded_mpc.py:241-254)
-            ds_seam = params.ds[N - 1]
-            fy_stash = z[5]
+            ds_seam = params.ds[..., N - 1]
+            fy_stash = z[..., 5]
             return (w["switch_F"] / ds_seam) * (
-                (u_phys[0] - uprev_phys[0]) ** 2 + (u_phys[1] - fy_stash) ** 2
+                (u_phys[..., 0] - uprev_phys[..., 0]) ** 2
+                + (u_phys[..., 1] - fy_stash) ** 2
             )
         else:  # kc: accel/steer-rate continuity (cascaded_kinematic_mpc.py:264-276)
-            ds_n = params.ds[jnp.minimum(N, H - 1)]
-            a_stash, w_stash = z[6], z[7]
+            ds_n = params.ds[..., jnp.minimum(N, H - 1)]
+            a_stash, w_stash = z[..., 6], z[..., 7]
             return (w["Fy"] / ds_n) * (
-                (a_stash - u_phys[0]) ** 2 + (w_stash - u_phys[1]) ** 2
+                (a_stash - u_phys[..., 0]) ** 2 + (w_stash - u_phys[..., 1]) ** 2
             )
 
     if tail == "pm":
@@ -384,60 +420,64 @@ def build_cascaded_problem(
 
     def term_cost(z):
         # reference: cascaded_mpc.py:279-304
-        speed = z[term_idx["speed"]]
+        speed = z[..., term_idx["speed"]]
         over = jnp.where(
             speed >= cons_st["max_speed"], (speed - cons_st["max_speed"]) ** 2, 0.0
         )
         return (
             w["speed"] * over
-            + w["time"] * z[term_idx["t"]]
-            + w["ey"] * z[term_idx["ey"]] ** 2
-            + w["epsi"] * z[term_idx["epsi"]] ** 2
+            + w["time"] * z[..., term_idx["t"]]
+            + w["ey"] * z[..., term_idx["ey"]] ** 2
+            + w["epsi"] * z[..., term_idx["epsi"]] ** 2
         )
 
     def stage_cost(n, z, u, params):
-        u_phys = u * u_scale[n]
-        cost = m_st_cost[n] * st_cost(n, z, u_phys, params)
+        u_phys = u * u_scale_at(n)
+        cost = m_st_cost(n) * st_cost(n, z, u_phys, params)
         if tail == "pm":
-            cost += m_tail_cost[n] * pm_cost(n, z, u_phys, params)
-            cost += m_switch[n] * switch_cost(n, z, u_phys, params)
+            cost += m_tail_cost(n) * pm_cost(n, z, u_phys, params)
+            cost += m_switch(n) * switch_cost(n, z, u_phys, params)
         elif tail == "kc":
-            cost += m_tail_cost[n] * kc_cost(n, z, u_phys, params)
-            cost += m_switch[n] * switch_cost(n, z, u_phys, params)
-        cost += m_term[n] * term_cost(z)
+            cost += m_tail_cost(n) * kc_cost(n, z, u_phys, params)
+            cost += m_switch(n) * switch_cost(n, z, u_phys, params)
+        cost += m_term(n) * term_cost(z)
         return cost
 
     def constraints(n, z, u, params):
-        u_phys = u * u_scale[n]
-        x = z[:8]
-        c_st = _st_constraints(x, u_phys[0], u_phys[1], p, cons_in, cons_st)
+        u_phys = u * u_scale_at(n)
+        x = z[..., :8]
+        c_st = _st_constraints(x, u_phys[..., 0], u_phys[..., 1], p, cons_in, cons_st)
         if tail == "none":
             return c_st
         fs = 1.0 / FORCE_SCALE
         if tail == "pm":
-            V = z[0]
+            V = z[..., 0]
+            pad = jnp.full_like(V, -1.0)
             c_tail = jnp.stack(
                 [
                     cons_tail["V_min"] - V,
-                    (u_phys[0] - p.Peng / jnp.maximum(V, 1.0)) * fs,
+                    (u_phys[..., 0] - p.Peng / jnp.maximum(V, 1.0)) * fs,
                 ]
-                + [jnp.asarray(-1.0, z.dtype)] * 8
+                + [pad] * 8,
+                axis=-1,
             )
         else:  # kc (reference: cascaded_kinematic_mpc.py:192-226)
-            v, delta = z[0], z[1]
+            v, delta = z[..., 0], z[..., 1]
+            pad = jnp.full_like(v, -1.0)
             c_tail = jnp.stack(
                 [
                     cons_tail["v_min"] - v,
                     delta - cons_tail["delta_max"],
                     cons_tail["delta_min"] - delta,
-                    u_phys[0] - cons_in["a_max"],
-                    cons_in["a_min"] - u_phys[0],
-                    u_phys[1] - cons_in["w_max"],
-                    cons_in["w_min"] - u_phys[1],
+                    u_phys[..., 0] - cons_in["a_max"],
+                    cons_in["a_min"] - u_phys[..., 0],
+                    u_phys[..., 1] - cons_in["w_max"],
+                    cons_in["w_min"] - u_phys[..., 1],
                 ]
-                + [jnp.asarray(-1.0, z.dtype)] * 3
+                + [pad] * 3,
+                axis=-1,
             )
-        return jnp.where(m_st_con[n], c_st, c_tail)
+        return jnp.where(m_st_con(n), c_st, c_tail)
 
     # -- horizon initialization (reference: cascaded_mpc.py:316-338) ---------
 
@@ -488,7 +528,10 @@ def build_cascaded_problem(
     if tail == "pm":
         lo[N:, 1], hi[N:, 1] = -25.0, 25.0  # Fy in kN
     elif tail == "kc":
-        lo[N:, 0], hi[N:, 0] = cons_in["a_min"], cons_in["a_max"]
+        # the a slot shares the Fx FORCE_SCALE (see u_scale_at), so its box
+        # must be expressed in solver units
+        lo[N:, 0] = cons_in["a_min"] / FORCE_SCALE
+        hi[N:, 0] = cons_in["a_max"] / FORCE_SCALE
         lo[N:, 1], hi[N:, 1] = cons_in["w_min"], cons_in["w_max"]
 
     fns = OCPFunctions(dynamics, stage_cost, constraints)
@@ -506,7 +549,7 @@ def build_cascaded_problem(
 def build_kinematic_problem(
     car_config, track: "track_mod.Track", cfg, dtype=jnp.float64
 ) -> MPCProblem:
-    p = kc.KinematicCarParams.from_config(car_config)
+    p = _floatify(kc.KinematicCarParams.from_config(car_config))
     track_data = track.data
     N = int(cfg["horizon"])
     H = N + 1  # states 0..N as in the reference (opti.variable(ns, N+1))
@@ -528,52 +571,53 @@ def build_kinematic_problem(
         )
     )
 
-    idx = np.arange(H)
-    m_stage = jnp.asarray(idx < N, dtype)
-    m_dyn = jnp.asarray(idx < N)
-    m_slew = jnp.asarray((idx >= 1) & (idx < N), dtype)
-    m_term = jnp.asarray(idx == N, dtype)
+    m_stage = lambda n: n < N
+    m_dyn = lambda n: n < N
+    m_slew = lambda n: (n >= 1) & (n < N)
+    m_term = lambda n: n == N
     u_scale = jnp.ones((H, nu), dtype)
 
     def dynamics(n, z, u, params):
-        x = z[:6]
-        nxt = spatial(x, u, params.curvature[n], params.ds[n])
-        nxt = jnp.where(m_dyn[n], nxt, x)
-        return jnp.concatenate([nxt, u])
+        x = z[..., :6]
+        nxt = spatial(x, u, params.curvature[..., n], params.ds[..., n])
+        nxt = jnp.where(m_dyn(n), nxt, x)
+        return jnp.concatenate([nxt, u], axis=-1)
 
     def stage_cost(n, z, u, params):
-        v, delta, s, ey, epsi, t = [z[i] for i in range(6)]
-        a_act, w_act = u[0], u[1]
-        dsn = params.ds[n]
+        v, delta, s, ey, epsi, t = [z[..., i] for i in range(6)]
+        a_act, w_act = u[..., 0], u[..., 1]
+        dsn = params.ds[..., n]
         cost = _boundary(ey, dsn, w["boundary"], cons_st["ey_min"], cons_st["ey_max"])
         cost += w["deviation"] * dsn * ey**2
         cost += w["w"] * w_act**2
         # a-slew (reference: kinematic_mpc.py:126-128, no ds factor)
-        cost += m_slew[n] * w["a"] * (a_act - z[6]) ** 2
+        cost += m_slew(n) * w["a"] * (a_act - z[..., 6]) ** 2
         if obstacles_on:
             cost += _obstacle_barrier(obstacles, s, ey, dsn, w["obstacles"])
-        cost = m_stage[n] * cost
+        cost = jnp.where(m_stage(n), cost, 0.0)
         # terminal (reference: kinematic_mpc.py:137-158)
         over = jnp.where(v >= cons_st["v_max"], (v - cons_st["v_max"]) ** 2, 0.0)
         term = w["v"] * over + w["time"] * t + w["ey"] * ey**2 + w["epsi"] * epsi**2
-        return cost + m_term[n] * term
+        return cost + m_term(n) * term
 
     def constraints(n, z, u, params):
-        v, delta = z[0], z[1]
+        v, delta = z[..., 0], z[..., 1]
+        pad = jnp.full_like(v, -1.0)
         c = jnp.stack(
             [
                 cons_st["v_min"] - v,
                 delta - cons_st["delta_max"],
                 cons_st["delta_min"] - delta,
-                u[0] - cons_in["a_max"],
-                cons_in["a_min"] - u[0],
-                u[1] - cons_in["w_max"],
-                cons_in["w_min"] - u[1],
+                u[..., 0] - cons_in["a_max"],
+                cons_in["a_min"] - u[..., 0],
+                u[..., 1] - cons_in["w_max"],
+                cons_in["w_min"] - u[..., 1],
             ]
-            + [jnp.asarray(-1.0, z.dtype)] * 3
+            + [pad] * 3,
+            axis=-1,
         )
-        inactive = jnp.full((nc,), -1.0, z.dtype)
-        return jnp.where(m_dyn[n], c, inactive)
+        inactive = jnp.full_like(c, -1.0)
+        return jnp.where(m_dyn(n), c, inactive)
 
     def init_horizon(state0, X_prev, U_prev):
         # reference: kinematic_mpc.py:170-187 (note the ds/k off-by-one quirk:

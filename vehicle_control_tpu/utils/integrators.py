@@ -14,15 +14,23 @@ from __future__ import annotations
 
 from typing import Callable
 
+import jax.numpy as jnp
+
 Ode = Callable  # f(x, u, k) -> x_dot
 Step = Callable  # step(x, u, k, h) -> x_next
+
+
+def _hb(h):
+    """Broadcast the step size over the trailing state axis so per-scenario
+    (batched) step sizes work: scalar h -> (1,), batched (...,) h -> (..., 1)."""
+    return jnp.asarray(h)[..., None]
 
 
 def euler(f: Ode) -> Step:
     """Explicit Euler (reference: utils/integrators.py:15-23)."""
 
     def step(x, u, k, h):
-        return x + h * f(x, u, k)
+        return x + _hb(h) * f(x, u, k)
 
     return step
 
@@ -31,6 +39,7 @@ def rk2(f: Ode) -> Step:
     """Midpoint RK2 (reference: utils/integrators.py:40-49)."""
 
     def step(x, u, k, h):
+        h = _hb(h)
         k1 = f(x, u, k)
         k2 = f(x + 0.5 * h * k1, u, k)
         return x + h * k2
@@ -42,6 +51,7 @@ def rk4(f: Ode) -> Step:
     """Classic RK4 (reference: utils/integrators.py:26-37)."""
 
     def step(x, u, k, h):
+        h = _hb(h)
         k1 = f(x, u, k)
         k2 = f(x + 0.5 * h * k1, u, k)
         k3 = f(x + 0.5 * h * k2, u, k)
