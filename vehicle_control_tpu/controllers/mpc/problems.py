@@ -47,7 +47,7 @@ from vehicle_control_tpu.models import kinematic_car as kc
 from vehicle_control_tpu.models import point_mass as pm
 from vehicle_control_tpu.solvers import OCPFunctions
 from vehicle_control_tpu.utils.integrators import euler, rk4
-from vehicle_control_tpu.utils.math import safe_div
+from vehicle_control_tpu.utils.math import arctan, safe_div, tan
 
 FORCE_SCALE = 1000.0  # solve forces in kN
 OBSTACLE_EPS = 1e-2  # barrier denominator floor
@@ -78,14 +78,25 @@ def _regularized_spatial(temporal_fn, sdot_idx, floor, beta, clamps):
     the state.  s' is set to exactly 1.
     """
 
+    clamp_map = {i: (lo, hi) for i, lo, hi in clamps}
+
     def ode(x, u, k):
-        for i, lo, hi in clamps:
-            x = x.at[..., i].set(jnp.clip(x[..., i], lo, hi))
+        # slice-and-restack instead of .at[].set: no scatter ops, so the
+        # identical code lowers inside Pallas kernels
+        nf = x.shape[-1]
+        cols = [x[..., i] for i in range(nf)]
+        for i, (lo, hi) in clamp_map.items():
+            cols[i] = jnp.clip(cols[i], lo, hi)
+        x = jnp.stack(cols, axis=-1)
         xdot = temporal_fn(x, u, k)
         s_dot = xdot[..., sdot_idx]
         s_dot_eff = floor + jnp.logaddexp(0.0, beta * (s_dot - floor)) / beta
-        prime = xdot / s_dot_eff[..., None]
-        return prime.at[..., sdot_idx].set(jnp.ones_like(s_dot))
+        inv = 1.0 / s_dot_eff
+        pcols = [
+            jnp.ones_like(s_dot) if j == sdot_idx else xdot[..., j] * inv
+            for j in range(nf)
+        ]
+        return jnp.stack(pcols, axis=-1)
 
     return ode
 
@@ -144,10 +155,10 @@ def _obstacle_barrier_kc(obstacles, s, ey, ds, stage_idx):
 def _slip_penalty(x, Fx, p, w_slip):
     """Soft slip-angle penalty, front + rear (reference: cascaded_mpc.py:155-165)."""
     Ux, Uy, r, delta = x[..., 0], x[..., 1], x[..., 2], x[..., 3]
-    ta_f = jnp.abs(jnp.tan(dc.alpha_f(Ux, Uy, r, delta, p)))
-    tam_f = jnp.tan(dc.alphamod_f(Fx, Ux, p))
-    ta_r = jnp.abs(jnp.tan(dc.alpha_r(Ux, Uy, r, delta, p)))
-    tam_r = jnp.tan(dc.alphamod_r(Fx, Ux, p))
+    ta_f = jnp.abs(tan(dc.alpha_f(Ux, Uy, r, delta, p)))
+    tam_f = tan(dc.alphamod_f(Fx, Ux, p))
+    ta_r = jnp.abs(tan(dc.alpha_r(Ux, Uy, r, delta, p)))
+    tam_r = tan(dc.alphamod_r(Fx, Ux, p))
     pen_f = jnp.where(ta_f >= tam_f, (ta_f - tam_f) ** 2, 0.0)
     pen_r = jnp.where(ta_r >= tam_r, (ta_r - tam_r) ** 2, 0.0)
     return w_slip * (pen_f + pen_r)
@@ -310,7 +321,7 @@ def build_cascaded_problem(
         else:
             Ux, Uy, r, delta, s, ey, epsi, t = [x[..., i] for i in range(8)]
             V = jnp.sqrt(Ux**2 + Uy**2)
-            beta = jnp.arctan(safe_div(Uy, Ux))
+            beta = arctan(safe_div(Uy, Ux))
             zero = jnp.zeros_like(V)
             if tail == "pm":
                 # switching equalities (reference: cascaded_mpc.py:256-277) +

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from vehicle_control_tpu.utils.integrators import euler, rk4
-from vehicle_control_tpu.utils.math import safe_div, safe_sqrt
+from vehicle_control_tpu.utils.math import arctan, safe_div, safe_sqrt, tan
 from vehicle_control_tpu.utils.structs import VectorSpec
 
 GRAVITY = 9.88  # the reference's value (dynamic_car.py:61), kept for parity
@@ -140,21 +140,21 @@ def Fy_max_r(Ux, Fx, p: DynamicCarParams):
 
 def alpha_f(Ux, Uy, r, delta, p: DynamicCarParams):
     """Front slip angle, paper eq. 11a (reference: dynamic_car.py:111)."""
-    return jnp.arctan(safe_div(Uy + p.a * r, Ux)) - delta
+    return arctan(safe_div(Uy + p.a * r, Ux)) - delta
 
 
 def alpha_r(Ux, Uy, r, delta, p: DynamicCarParams):
     """Rear slip angle, paper eq. 11b (reference: dynamic_car.py:114)."""
-    return jnp.arctan(safe_div(Uy - p.b * r, Ux))
+    return arctan(safe_div(Uy - p.b * r, Ux))
 
 
 def alphamod_f(Fx, Ux, p: DynamicCarParams):
     """Front slip angle at tire saturation (reference: dynamic_car.py:119)."""
-    return jnp.arctan(3.0 * Fy_max_f(Ux, Fx, p) * p.eps / p.Caf)
+    return arctan(3.0 * Fy_max_f(Ux, Fx, p) * p.eps / p.Caf)
 
 
 def alphamod_r(Fx, Ux, p: DynamicCarParams):
-    return jnp.arctan(3.0 * Fy_max_r(Ux, Fx, p) * p.eps / p.Car)
+    return arctan(3.0 * Fy_max_r(Ux, Fx, p) * p.eps / p.Car)
 
 
 def _fiala(alpha, alphamod, Fymax, Calpha, eps):
@@ -163,7 +163,7 @@ def _fiala(alpha, alphamod, Fymax, Calpha, eps):
     ``jnp.where`` replaces ``ca.if_else``; both branches are evaluated, so the
     unsaturated branch uses the guarded Fymax to stay finite when saturated.
     """
-    ta = jnp.tan(alpha)
+    ta = tan(alpha)
     unsat = (
         -Calpha * ta
         + Calpha**2 * jnp.abs(ta) * ta / (3.0 * Fymax)

@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from vehicle_control_tpu.utils.integrators import euler
-from vehicle_control_tpu.utils.math import safe_div
+from vehicle_control_tpu.utils.math import arctan, safe_div, tan
 from vehicle_control_tpu.utils.structs import VectorSpec
 
 STATE = VectorSpec("kinematic_car_state", ["v", "delta", "s", "ey", "epsi", "t"])
@@ -41,7 +41,7 @@ def temporal_ode(x, u, k, p: KinematicCarParams):
     delta_dot = w
     s_dot = (v * jnp.cos(epsi)) / (1.0 - ey * k)
     ey_dot = v * jnp.sin(epsi)
-    epsi_dot = v * jnp.tan(delta) / p.l - s_dot * k
+    epsi_dot = v * tan(delta) / p.l - s_dot * k
     t_dot = jnp.ones_like(v)
     return jnp.stack([v_dot, delta_dot, s_dot, ey_dot, epsi_dot, t_dot], axis=-1)
 
@@ -57,8 +57,8 @@ def spatial_ode(x, u, k, p: KinematicCarParams):
     dt_ds = safe_div(1.0 - ey * k, v * jnp.cos(epsi), eps=1e-3)
     v_prime = dt_ds * a
     delta_prime = dt_ds * w
-    ey_prime = (1.0 - ey * k) * jnp.tan(epsi)
-    epsi_prime = jnp.tan(delta) / p.l * safe_div(1.0 - ey * k, jnp.cos(epsi)) - k
+    ey_prime = (1.0 - ey * k) * tan(epsi)
+    epsi_prime = tan(delta) / p.l * safe_div(1.0 - ey * k, jnp.cos(epsi)) - k
     s_prime = jnp.ones_like(v)
     t_prime = dt_ds
     return jnp.stack(

@@ -33,3 +33,39 @@ def safe_div(num, den, eps: float = 1e-6):
     sign = jnp.where(den >= 0, 1.0, -1.0)
     safe = sign * jnp.maximum(jnp.abs(den), eps)
     return num / safe
+
+
+# --- Mosaic-lowerable transcendentals ---------------------------------------
+# Pallas TPU lowering implements sin/cos/exp/log but not tan/atan; the model
+# stack uses these implementations everywhere so the identical expressions run
+# on the XLA path and inside kernels.  atan is a degree-12 even polynomial in
+# z^2 with the |x|>1 inversion identity; max abs error 3.4e-11 over the reals
+# (fitted offline, see git history).
+
+_ATAN_COEF = (
+    0.99999999999263123, -0.3333333306680264, 0.1999998397885146,
+    -0.14285333912904893, 0.11106380339266723, -0.090554546996879717,
+    0.075185007155151209, -0.060787989990705574, 0.044565591157096275,
+    -0.026990770717991868, 0.012096335799244793, -0.0034560864803735883,
+    0.00046365012913819137,
+)
+
+
+def tan(x):
+    """tan via sin/cos (identical mathematically; Mosaic-lowerable)."""
+    return jnp.sin(x) / jnp.cos(x)
+
+
+def arctan(x):
+    """Polynomial arctan, |err| < 3.5e-11 (Mosaic-lowerable)."""
+    x = jnp.asarray(x)
+    ax = jnp.abs(x)
+    inv = ax > 1.0
+    z = jnp.where(inv, 1.0 / jnp.maximum(ax, 1e-30), ax)
+    z2 = z * z
+    acc = jnp.full_like(z, _ATAN_COEF[-1])
+    for c in _ATAN_COEF[-2::-1]:
+        acc = acc * z2 + c
+    r = z * acc
+    r = jnp.where(inv, jnp.pi / 2 - r, r)
+    return jnp.sign(x) * r
