@@ -111,14 +111,12 @@ class TestLinesearchKernel:
             alphas,
             problems.HorizonParams,
         )
-        Xc, Uc, costs = run(
+        costs = run(
             Xref, Uref, kff, Kfb, lam, mu, pv.curvature, pv.ds, zv, interpret=True
         )
         Xr, Ur, cr = _xla_reference(
             prob, alphas, Xref, Uref, kff, Kfb, lam, mu, pv, zv
         )
-        np.testing.assert_allclose(np.asarray(Xc), np.asarray(Xr), rtol=2e-5, atol=2e-4)
-        np.testing.assert_allclose(np.asarray(Uc), np.asarray(Ur), rtol=2e-5, atol=2e-4)
         finite = np.isfinite(np.asarray(cr))
         np.testing.assert_allclose(
             np.asarray(costs)[finite], np.asarray(cr)[finite], rtol=2e-4, atol=2e-3

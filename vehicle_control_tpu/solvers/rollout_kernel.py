@@ -1,21 +1,19 @@
-"""Pallas TPU kernel: fused line-search rollouts.
+"""Pallas TPU kernel: fused line-search rollouts (EXPERIMENTAL).
 
-The iLQR line search evaluates all backtracking candidates at once; under
-plain XLA that is vmap(alphas) x vmap(scenarios) of a 30-stage scan whose
-per-stage scalars land in (B, n_alpha)-shaped ops — 8-to-16x lane padding.
-This kernel runs the whole candidate sweep with a TPU-native SoA layout:
+Evaluates the AL cost of every line-search candidate's closed-loop rollout
+in one kernel — grid (n_alpha, B/1024), all per-stage tensors resident in
+VMEM, driving the *same* batch-polymorphic problem closures as the XLA
+path.  Numerically correct (interpret-mode test bit-matches; on-chip max
+deviation ~4e-5 vs the XLA line search) and demonstrates the full set of
+Mosaic-compatibility techniques (see PLAN.md "Round-1 findings").
 
-* grid = (n_alpha, B / 1024): one program per (candidate, scenario tile);
-* every per-stage tensor lives in VMEM as (..., fields, 8, 128) — the
-  trailing (8, 128) is exactly one f32 vreg tile, so the tire/cost math
-  (which operates on unpacked per-field arrays through the
-  batch-polymorphic problem closures) runs at full VPU lane utilization;
-* the only (..., nz)-shaped ops are the moveaxis at the closure boundary —
-  O(40 KB) per stage, negligible.
-
-Numerically identical to the XLA line-search path (same closures, same
-clamping and divergence guards); tests compare both, and ``interpret=True``
-keeps it runnable on CPU.
+NOT yet the fast path: measured 149 ms vs 4.65 ms for XLA at B=4096, H=30.
+Mosaic assigns the last two *logical* dims to (sublane, lane), so the
+closures' field-last (..., 8, 128, F) arrays are physically lane-padded
+12.8x and every ``x[..., i]`` slice relayouts.  The planned fix is
+field-major kernel math (state as F separate (8,128) tiles end-to-end);
+until then the solver keeps the XLA line search and this kernel serves as
+the validated scaffold for that work.
 """
 
 from __future__ import annotations
@@ -32,12 +30,14 @@ B_TILE = SUB * LANE  # 1024 scenarios per program
 
 def build_linesearch_kernel(fns, horizon, nz, nu, nc, u_lo, u_hi, alphas, params_cls):
     """Return ``run(Xref, Uref, kffs, Kfbs, lam, mu, curv, ds, z0) ->
-    (Xc, Uc, costs)``: closed-loop rollouts of every line-search candidate.
+    costs (A, B)``: AL cost of every line-search candidate's closed-loop
+    rollout.  Only the costs leave the kernel — the states/controls of the
+    *selected* candidate are re-rolled by the caller (one rollout instead of
+    A, and the kernel stays well inside VMEM).
 
     Input layout (B scenarios, A = len(alphas)):
       Xref (B, H, nz), Uref/kffs (B, H, nu), Kfbs (B, H, nu, nz),
       lam (B, H, nc), mu (B,), curv/ds (B, H), z0 (B, nz).
-    Output: Xc (A, B, H, nz), Uc (A, B, H, nu), costs (A, B).
     B must be a multiple of 1024.
     """
     H = horizon
@@ -72,8 +72,6 @@ def build_linesearch_kernel(fns, horizon, nz, nu, nc, u_lo, u_hi, alphas, params
         z0_ref,  # (1, nz, 8, 128)
         ulo_ref,  # (H, nu)
         uhi_ref,  # (H, nu)
-        x_out,  # (1, 1, H, nz, 8, 128)
-        u_out,  # (1, 1, H, nu, 8, 128)
         cost_out,  # (1, 1, 1, 8, 128)
     ):
         a_idx = pl.program_id(0)
@@ -112,8 +110,6 @@ def build_linesearch_kernel(fns, horizon, nz, nu, nc, u_lo, u_hi, alphas, params
             cost = fns.stage_cost(n, z, u, params) + al_penalty_b(
                 fns.constraints(n, z, u, params), lam_n, mu
             )
-            x_out[0, 0, n] = b2f(z)
-            u_out[0, 0, n] = b2f(u)
             z_next = fns.dynamics(n, z, u, params)
             finite = jnp.all(jnp.isfinite(z_next), axis=-1) & (
                 jnp.max(jnp.abs(z_next), axis=-1) < 1e7
@@ -179,11 +175,9 @@ def build_linesearch_kernel(fns, horizon, nz, nu, nc, u_lo, u_hi, alphas, params
             )
 
         out_shapes = [
-            (A, nb, H, nz, SUB, LANE),
-            (A, nb, H, nu, SUB, LANE),
             (A, nb, 1, SUB, LANE),
         ]
-        Xc, Uc, costs = pl.pallas_call(
+        (costs,) = pl.pallas_call(
             kernel,
             grid=(A, nb),
             in_specs=[in_spec(x) for x in inputs]
@@ -192,8 +186,14 @@ def build_linesearch_kernel(fns, horizon, nz, nu, nc, u_lo, u_hi, alphas, params
             out_shape=[
                 jax.ShapeDtypeStruct(s, Xref.dtype) for s in out_shapes
             ],
+            # the RK4 tire stack keeps many (8,128,nz) temporaries live in
+            # the loop body; the default 16 MB scoped-vmem budget is too
+            # small for body + double-buffered input blocks
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            ),
             interpret=interpret,
         )(*inputs, *box_inputs)
-        return untile(Xc, B), untile(Uc, B), untile(costs, B)[..., 0]
+        return untile(costs, B)[..., 0]
 
     return run
