@@ -122,3 +122,31 @@ class TestLinesearchKernel:
             np.asarray(costs)[finite], np.asarray(cr)[finite], rtol=2e-4, atol=2e-3
         )
         assert np.isfinite(np.asarray(costs)).mean() > 0.5
+
+
+class TestFieldMajorKernel:
+    def test_matches_xla_path(self, setup, ippodromo_track):
+        from vehicle_control_tpu.solvers.rollout_kernel_fm import (
+            build_linesearch_kernel_fm,
+        )
+
+        prob = setup
+        cfg = dict(_cfg("controllers/singletrack.yaml"), obstacles=False)
+        cfg["horizon"] = 8
+        alphas = jnp.asarray([1.0, 0.25, 0.01], jnp.float32)
+        from vehicle_control_tpu.solvers.rollout_kernel import B_TILE
+
+        B = B_TILE
+        Xref, Uref, kff, Kfb, lam, mu, pv, zv = _data(prob, B)
+        run = build_linesearch_kernel_fm(
+            _cfg("models/dynamic_car.yaml"), cfg, prob.horizon, alphas
+        )
+        costs = run(
+            Xref, Uref, kff, Kfb, lam, mu, pv.curvature, pv.ds, zv, interpret=True
+        )
+        _, _, cr = _xla_reference(prob, alphas, Xref, Uref, kff, Kfb, lam, mu, pv, zv)
+        finite = np.isfinite(np.asarray(cr))
+        np.testing.assert_allclose(
+            np.asarray(costs)[finite], np.asarray(cr)[finite], rtol=3e-4, atol=3e-3
+        )
+        assert np.isfinite(np.asarray(costs)).mean() > 0.5
