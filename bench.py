@@ -66,7 +66,11 @@ def main():
     p = dc.DynamicCarParams.from_config(carcfg)
     temporal, _ = dc.make_transitions(p)
 
-    solver_cfg = ALILQRConfig(n_outer=2, n_inner=6)
+    solver_cfg = ALILQRConfig(
+        n_outer=2,
+        n_inner=6,
+        use_ls_kernel=bool(int(os.environ.get("BENCH_KERNEL", "0"))),
+    )
     step = jax.jit(
         make_batched_racing_step(problem, solver_cfg, temporal, track.data, 0.05, 4)
     )

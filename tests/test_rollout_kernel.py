@@ -150,3 +150,43 @@ class TestFieldMajorKernel:
             np.asarray(costs)[finite], np.asarray(cr)[finite], rtol=3e-4, atol=3e-3
         )
         assert np.isfinite(np.asarray(costs)).mean() > 0.5
+
+
+class TestKernelSolverIntegration:
+    def test_solver_with_kernel_matches_plain(self, ippodromo_track):
+        """Full batched solves with the Pallas line-search costs (interpret
+        mode on CPU) vs the plain XLA path."""
+        import jax
+
+        from vehicle_control_tpu.controllers.mpc.controllers import (
+            initial_carry,
+            make_mpc_step,
+        )
+        from vehicle_control_tpu.parallel import tile_carry
+        from vehicle_control_tpu.solvers import ALILQRConfig
+
+        cfg = dict(_cfg("controllers/singletrack.yaml"), obstacles=False)
+        cfg["horizon"] = 6
+        prob = problems.build_cascaded_problem(
+            _cfg("models/dynamic_car.yaml"), ippodromo_track, cfg, "none",
+            jnp.float32,
+        )
+        B = 8  # exercises the pad-to-1024 path
+        rng = np.random.default_rng(2)
+        states = np.zeros((B, 8), np.float32)
+        states[:, 0] = 5.0 + rng.uniform(0, 5, B)
+        states[:, 4] = rng.uniform(0, 200, B)
+        states = jnp.asarray(states)
+
+        out = {}
+        for use_kernel in (False, True):
+            scfg = ALILQRConfig(n_outer=2, n_inner=4, use_ls_kernel=use_kernel)
+            step = jax.jit(jax.vmap(make_mpc_step(prob, scfg)))
+            carries = tile_carry(prob, B, jnp.float32)
+            carries, actions, infos = step(carries, states)
+            out[use_kernel] = (np.asarray(actions), np.asarray(infos.cost))
+
+        # line-search decisions agree up to kernel/XLA cost noise (~4e-5):
+        # identical selections give identical actions; allow tiny drift
+        np.testing.assert_allclose(out[True][0], out[False][0], rtol=2e-3, atol=2e-2)
+        np.testing.assert_allclose(out[True][1], out[False][1], rtol=2e-3, atol=1e-2)

@@ -61,8 +61,20 @@ def make_mpc_step(problem: problems.MPCProblem, solver_cfg: ALILQRConfig):
     Warm-start discipline matches the reference: previous solution seeds both
     the ds/curvature horizon parameters and the solver initial point.
     """
+    ls_kernel = None
+    if solver_cfg.use_ls_kernel and problem.linesearch_kernel_factory is not None:
+        alphas = [
+            solver_cfg.alpha_min ** (i / (solver_cfg.n_alpha - 1))
+            for i in range(solver_cfg.n_alpha)
+        ]
+        ls_kernel = problem.linesearch_kernel_factory(alphas)
     solve = build_solver(
-        problem.fns, problem.horizon, solver_cfg, problem.u_lo, problem.u_hi
+        problem.fns,
+        problem.horizon,
+        solver_cfg,
+        problem.u_lo,
+        problem.u_hi,
+        ls_kernel=ls_kernel,
     )
 
     def step(carry: MPCCarry, state):

@@ -121,6 +121,9 @@ class MPCProblem(NamedTuple):
     ns_model: int  # physical state dim of the leading model
     u_lo: jnp.ndarray  # (H, nu) rollout control box, solver units
     u_hi: jnp.ndarray
+    # optional factory: alphas -> batched line-search-costs kernel
+    # (the Pallas field-major path; None when unsupported for this family)
+    linesearch_kernel_factory: object = None
 
 
 def _boundary(ey, ds, w, ey_min, ey_max):
@@ -545,10 +548,25 @@ def build_cascaded_problem(
         hi[N:, 0] = cons_in["a_max"] / FORCE_SCALE
         lo[N:, 1], hi[N:, 1] = cons_in["w_min"], cons_in["w_max"]
 
+    if tail == "none" and not obstacles_on:
+        def linesearch_kernel_factory(alphas):
+            import jax
+
+            from vehicle_control_tpu.solvers.rollout_kernel_fm import (
+                build_linesearch_kernel_fm,
+            )
+
+            run = build_linesearch_kernel_fm(car_config, cfg, H, alphas)
+            interp = jax.default_backend() != "tpu"  # interpret off-TPU
+            return lambda *a: run(*a, interpret=interp)
+    else:
+        linesearch_kernel_factory = None
+
     fns = OCPFunctions(dynamics, stage_cost, constraints)
     return MPCProblem(
         fns, H, nz, nu, nc, u_scale, init_horizon, initial_prediction, 8,
         jnp.asarray(lo, dtype), jnp.asarray(hi, dtype),
+        linesearch_kernel_factory,
     )
 
 

@@ -77,6 +77,8 @@ class ALILQRConfig:
     tol_con: float = 1e-4  # constraint-violation tolerance
     armijo: float = 1e-4
     record_trace: bool = False  # also return per-iteration diagnostics
+    use_ls_kernel: bool = False  # Pallas field-major line-search costs
+    # (honored by make_mpc_step when the problem family supports it)
     unroll: int = 4  # lax.scan unroll for the per-stage sweeps: the stages
     # are tiny (10x10 blocks), so dispatch overhead dominates a rolled scan
     # on TPU; unrolling lets XLA fuse several stages per loop iteration
@@ -118,6 +120,7 @@ def build_solver(
     config: ALILQRConfig | None = None,
     u_lo=None,
     u_hi=None,
+    ls_kernel=None,
 ):
     """Return ``solve(params, z0, U_init, lam_init) -> Solution``.
 
@@ -221,17 +224,70 @@ def build_solver(
 
     forward_all = jax.vmap(forward, in_axes=(0,) + (None,) * 8)
 
+    # -- optional Pallas line-search-costs path -------------------------------
+    # ``ls_kernel(Xref, Uref, kffs, Kfbs, lam, mu, curv, ds, z0) -> (A, B)``
+    # is inherently batched (field-major SoA over 1024-scenario tiles); it is
+    # spliced under the solver's outer scenario vmap with custom_vmap.  The
+    # unbatched fallback (single solve, no vmap) stays on the XLA path.
+    if ls_kernel is not None:
+        from jax import custom_batching
+
+        @custom_batching.custom_vmap
+        def ls_costs(Xref, Uref, kffs, Kfbs, lam, mu, params, z0):
+            _, _, costs = forward_all(
+                alphas.astype(Uref.dtype), Xref, Uref, kffs, Kfbs, lam, mu, params, z0
+            )
+            return costs  # (A,)
+
+        @ls_costs.def_vmap
+        def _ls_costs_rule(axis_size, in_batched, *args):
+            B = axis_size
+            # broadcast any unbatched operand (e.g. the scalar AL penalty mu,
+            # which vmap never batches) to the full batch
+            args = jax.tree.map(
+                lambda a, b: a if b else jnp.broadcast_to(
+                    jnp.asarray(a), (B,) + jnp.shape(a)
+                ),
+                tuple(args),
+                tuple(in_batched),
+            )
+            Xref, Uref, kffs, Kfbs, lam, mu, params, z0 = args
+            pad = (-B) % 1024
+            if pad:
+                def padb(a):
+                    return jnp.concatenate(
+                        [a, jnp.broadcast_to(a[-1:], (pad,) + a.shape[1:])], axis=0
+                    )
+
+                Xref, Uref, kffs, Kfbs, lam, mu, z0 = map(
+                    padb, (Xref, Uref, kffs, Kfbs, lam, mu, z0)
+                )
+                params = jax.tree.map(padb, params)
+            costs = ls_kernel(
+                Xref, Uref, kffs, Kfbs, lam, mu, params.curvature, params.ds, z0
+            )  # (A, B+pad)
+            return jnp.moveaxis(costs[:, :B], 0, 1), True  # (B, A)
+    else:
+        ls_costs = None
+
     # -- inner iLQR iteration --------------------------------------------------
 
     def inner_step(state, _, lam, mu, params, z0):
         X, U, cost_al, rho, done, n_acc = state
         nu = U.shape[-1]
+        alphas_l = alphas.astype(U.dtype)
 
         derivs = batched_derivs(ns_range, X, U, lam, mu, params)
         kffs, Kfbs, dV1, dV2, bp_fail = backward(derivs, rho, nu)
 
-        Xc, Uc, costs = forward_all(alphas, X, U, kffs, Kfbs, lam, mu, params, z0)
-        expected = -(alphas * dV1 + alphas**2 * dV2)
+        if ls_costs is not None:
+            costs = ls_costs(X, U, kffs, Kfbs, lam, mu, params, z0).astype(U.dtype)
+            Xc = Uc = None  # selected candidate re-rolled below
+        else:
+            Xc, Uc, costs = forward_all(
+                alphas_l, X, U, kffs, Kfbs, lam, mu, params, z0
+            )
+        expected = -(alphas_l * dV1 + alphas_l**2 * dV2)
         improvement = cost_al - costs
         # Armijo on the quadratic model — but when the model's predicted
         # decrease exceeds the entire current cost the expansion is garbage
@@ -244,9 +300,18 @@ def build_solver(
         # prefer the largest accepted step (alphas are sorted descending)
         idx = jnp.argmax(ok)
 
-        X_new = jnp.where(any_ok, Xc[idx], X)
-        U_new = jnp.where(any_ok, Uc[idx], U)
-        cost_new = jnp.where(any_ok, costs[idx], cost_al)
+        if ls_costs is not None:
+            # kernel computed costs only: re-roll the selected candidate
+            Xs, Us, cost_sel = forward(
+                alphas_l[idx], X, U, kffs, Kfbs, lam, mu, params, z0
+            )
+            X_new = jnp.where(any_ok, Xs, X)
+            U_new = jnp.where(any_ok, Us, U)
+            cost_new = jnp.where(any_ok, cost_sel, cost_al)
+        else:
+            X_new = jnp.where(any_ok, Xc[idx], X)
+            U_new = jnp.where(any_ok, Uc[idx], U)
+            cost_new = jnp.where(any_ok, costs[idx], cost_al)
         # Asymmetric LM schedule: climb fast on failure (ill-conditioned
         # problems need rho ~ curvature scale within a few iterations), relax
         # slowly on success.
@@ -259,7 +324,7 @@ def build_solver(
         # Converged only when a (near-)full Newton step yields no progress, or
         # the expected decrease itself is tiny — a small backtracked step with
         # small improvement is NOT convergence, just a hard iteration.
-        alpha_sel = alphas[idx]
+        alpha_sel = alphas_l[idx]
         converged_now = any_ok & (rel_impr < cfg.tol_cost) & (alpha_sel >= 0.99)
         small_grad = (~bp_fail) & (
             -dV1 < cfg.tol_cost * (jnp.abs(cost_al) + 1.0)
