@@ -190,3 +190,47 @@ class TestKernelSolverIntegration:
         # identical selections give identical actions; allow tiny drift
         np.testing.assert_allclose(out[True][0], out[False][0], rtol=2e-3, atol=2e-2)
         np.testing.assert_allclose(out[True][1], out[False][1], rtol=2e-3, atol=1e-2)
+
+
+class TestFieldMajorDerivsKernel:
+    def test_matches_xla_stage_derivs(self, setup):
+        from vehicle_control_tpu.solvers.al_ilqr import _al_penalty
+        from vehicle_control_tpu.solvers.derivs_kernel_fm import (
+            build_derivs_kernel_fm,
+        )
+        from vehicle_control_tpu.solvers.rollout_kernel import B_TILE
+
+        prob = setup
+        cfg = dict(_cfg("controllers/singletrack.yaml"), obstacles=False)
+        cfg["horizon"] = 8
+        B = B_TILE
+        Xref, Uref, kff, Kfb, lam, mu, pv, zv = _data(prob, B)
+        fns = prob.fns
+        H, nz = prob.horizon, prob.nz
+
+        # XLA reference: the solver's stage_derivs
+        def stage_derivs(n, z, u, lam_n, m, params):
+            w = jnp.concatenate([z, u])
+            cost_fn = lambda w_: (
+                fns.stage_cost(n, w_[:nz], w_[nz:], params)
+                + _al_penalty(fns.constraints(n, w_[:nz], w_[nz:], params), lam_n, m)
+            )
+            g = jax.grad(cost_fn)(w)
+            Hw = jax.jacfwd(jax.grad(cost_fn))(w)
+            dyn = lambda w_: fns.dynamics(n, w_[:nz], w_[nz:], params)
+            J = jax.jacfwd(dyn)(w)
+            return g, Hw, J
+
+        one = jax.vmap(stage_derivs, in_axes=(0, 0, 0, 0, None, None))
+        ref = jax.vmap(
+            lambda X, U, L, m, pp: one(jnp.arange(H), X, U, L, m, pp),
+            in_axes=(0, 0, 0, 0, 0),
+        )(Xref, Uref, lam, mu, pv)
+
+        run = build_derivs_kernel_fm(_cfg("models/dynamic_car.yaml"), cfg, H)
+        g, Hw, J = run(
+            Xref, Uref, lam, mu, pv.curvature, pv.ds, interpret=True
+        )
+        np.testing.assert_allclose(np.asarray(g), np.asarray(ref[0]), rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(Hw), np.asarray(ref[1]), rtol=3e-3, atol=3e-3)
+        np.testing.assert_allclose(np.asarray(J), np.asarray(ref[2]), rtol=2e-4, atol=2e-4)

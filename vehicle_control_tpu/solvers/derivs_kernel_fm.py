@@ -1,0 +1,184 @@
+"""Pallas TPU kernel: field-major per-stage derivatives (single-track).
+
+Computes, for every (stage, scenario), the quantities the Riccati backward
+pass consumes: AL-cost gradient g, Hessian Hw, and dynamics Jacobian J over
+the combined w = (z(10), u(2)).  The XLA path does this with
+vmap(jacfwd(grad)) whose tangent/stage batching materializes badly-padded
+(B, H, 12, .) intermediates; here the AD happens *inside* the kernel over
+field-major (8, 128) tiles:
+
+* grid = (H, B/1024) — stages are independent, so each program handles one
+  (stage, scenario-tile) pair and the whole thing pipelines;
+* gradient: jax.grad of the lane-summed AL cost wrt the 12 individual field
+  tiles (per-lane costs are diagonal in the batch, so the cotangent of the
+  sum IS the per-scenario gradient);
+* Hessian / Jacobian columns: jax.jvp with a ones-tile tangent on exactly
+  one field per column — again exact because the computation is per-lane.
+
+Shares the physics with rollout_kernel_fm via fm_singletrack, and is
+equivalence-tested against the solver's stage_derivs.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vehicle_control_tpu.models import dynamic_car as dc
+from vehicle_control_tpu.solvers import fm_singletrack as fm
+
+SUB, LANE = 8, 128
+B_TILE = SUB * LANE
+NW = 12  # z(10) + u(2)
+NZ, NU, NC = 10, 2, 10
+
+
+def build_derivs_kernel_fm(car_config, cfg, horizon):
+    """Returns ``run(X, U, lam, mu, curv, ds, interpret=False) ->
+    (g (B,H,NW), Hw (B,H,NW,NW), J (B,H,NZ,NW))`` for the single-track
+    problem.  Hw is returned unsymmetrized (the solver symmetrizes)."""
+    from vehicle_control_tpu.controllers.mpc.problems import _floatify
+
+    p = _floatify(dc.DynamicCarParams.from_config(car_config))
+    H = int(horizon)
+    N = int(cfg["horizon"])
+    assert H == N and not bool(cfg.get("obstacles", False))
+    w_ = {k: float(v) for k, v in cfg["cost_weights"].items()}
+    ci = {k: float(v) for k, v in cfg["input_constraints"].items()}
+    cs = {k: float(v) for k, v in cfg["state_constraints"].items()}
+
+    def kernel(
+        x_ref,  # (1, 1, NZ, 8, 128)   stage slice of Z
+        u_ref,  # (1, 1, NU, 8, 128)
+        lam_ref,  # (1, 1, NC, 8, 128)
+        mu_ref,  # (1, 1, 8, 128)
+        curv_ref,  # (1, 1, 8, 128)
+        ds_ref,  # (1, H, 8, 128)  full ds row (needs ds[n-1])
+        g_out,  # (1, 1, NW, 8, 128)
+        h_out,  # (1, 1, NW, NW, 8, 128)
+        j_out,  # (1, 1, NZ, NW, 8, 128)
+    ):
+        n = pl.program_id(0)
+        mu = mu_ref[0, 0]
+        kv = curv_ref[0, 0]
+        dsn = ds_ref[0, n]
+        ds_prev = ds_ref[0, jnp.maximum(n - 1, 0)]
+        lam = [lam_ref[0, 0, j] for j in range(NC)]
+
+        def al_cost(*wf):
+            # wf: 12 field tiles: z(10) + u_solver(2)
+            x = list(wf[:8])
+            Fx = wf[10] * fm.FORCE_SCALE
+            wact = wf[11]
+            Fx_prev = wf[8] * fm.FORCE_SCALE
+            c = fm.stage_cost_fields(
+                n, x, Fx, wact, Fx_prev, dsn, ds_prev, p, w_, cs, N, H
+            )
+            cons = fm.constraint_fields(x, Fx, wact, p, ci, cs)
+            c = c + fm.al_penalty_fields(cons, lambda j: lam[j], mu)
+            return jnp.sum(c)
+
+        def dyn(*wf):
+            # returns the 10 next-state fields (rk4 on x, prev-action update)
+            x = list(wf[:8])
+            Fx = wf[10] * fm.FORCE_SCALE
+            wact = wf[11]
+            x_next = fm.rk4_step(x, Fx, wact, kv, dsn, p)
+            return tuple(x_next) + (wf[10], wf[11])
+
+        wf = tuple(x_ref[0, 0, i] for i in range(NZ)) + tuple(
+            u_ref[0, 0, j] for j in range(NU)
+        )
+        ones = jnp.ones((SUB, LANE), jnp.float32)
+        zeros = jnp.zeros((SUB, LANE), jnp.float32)
+
+        grad_fn = jax.grad(al_cost, argnums=tuple(range(NW)))
+        g = grad_fn(*wf)
+        for i in range(NW):
+            g_out[0, 0, i] = g[i]
+
+        for i in range(NW):
+            tangents = tuple(ones if j == i else zeros for j in range(NW))
+            _, hcol = jax.jvp(lambda *a: grad_fn(*a), wf, tangents)
+            for r in range(NW):
+                h_out[0, 0, r, i] = hcol[r]
+            _, jcol = jax.jvp(lambda *a: dyn(*a), wf, tangents)
+            for r in range(NZ):
+                j_out[0, 0, r, i] = jcol[r]
+
+    def tile(a, nb):
+        rest = a.shape[1:]
+        a = a.reshape((nb, SUB, LANE) + rest)
+        return jnp.moveaxis(a, (1, 2), (-2, -1))
+
+    def untile(a, B):
+        # (nb, H, *rest, 8, 128) -> (B, H, *rest)
+        a = jnp.moveaxis(a, (-2, -1), (1, 2))
+        return a.reshape((B,) + a.shape[3:])
+
+    def run(X, U, lam, mu, curv, ds, interpret=False):
+        B = X.shape[0]
+        assert B % B_TILE == 0, f"batch {B} must be a multiple of {B_TILE}"
+        nb = B // B_TILE
+        f32 = jnp.float32
+        inputs = [
+            tile(X.astype(f32), nb),  # (nb, H, NZ, 8, 128)
+            tile(U.astype(f32), nb),
+            tile(lam.astype(f32), nb),
+            tile(mu.astype(f32)[:, None], nb),  # (nb, 1, 8, 128)
+            tile(curv.astype(f32), nb),  # (nb, H, 8, 128)
+            tile(ds.astype(f32), nb),
+        ]
+
+        def stage_spec(x, stage_axis=True):
+            blk = (1, 1) + x.shape[2:] if stage_axis else (1,) + x.shape[1:]
+            nd = len(blk)
+            if stage_axis:
+                return pl.BlockSpec(
+                    blk, lambda n, b, nd=nd: (b, n) + (0,) * (nd - 2),
+                    memory_space=pltpu.VMEM,
+                )
+            return pl.BlockSpec(
+                blk, lambda n, b, nd=nd: (b,) + (0,) * (nd - 1),
+                memory_space=pltpu.VMEM,
+            )
+
+        in_specs = [
+            stage_spec(inputs[0]),  # X per stage
+            stage_spec(inputs[1]),
+            stage_spec(inputs[2]),
+            stage_spec(inputs[3], stage_axis=False),  # mu: (nb, 1, 8, 128)
+            stage_spec(inputs[4]),  # curvature per stage
+            stage_spec(inputs[5], stage_axis=False),  # ds: full row
+        ]
+        out_shapes = [
+            (nb, H, NW, SUB, LANE),
+            (nb, H, NW, NW, SUB, LANE),
+            (nb, H, NZ, NW, SUB, LANE),
+        ]
+
+        def out_spec(shape):
+            blk = (1, 1) + shape[2:]
+            nd = len(blk)
+            return pl.BlockSpec(
+                blk, lambda n, b, nd=nd: (b, n) + (0,) * (nd - 2),
+                memory_space=pltpu.VMEM,
+            )
+
+        g, Hw, J = pl.pallas_call(
+            kernel,
+            grid=(H, nb),
+            in_specs=in_specs,
+            out_specs=[out_spec(s) for s in out_shapes],
+            out_shape=[jax.ShapeDtypeStruct(s, f32) for s in out_shapes],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            ),
+            interpret=interpret,
+        )(*inputs)
+        return untile(g, B), untile(Hw, B), untile(J, B)
+
+    return run
