@@ -54,4 +54,10 @@ t_k, (gk, Hk, Jk) = bench(kern, args_k)
 print(f"derivs kernel FM: {t_k:.2f} ms", flush=True)
 t_x, (gx, Hx, Jx) = bench(xla, args_x)
 print(f"derivs xla: {t_x:.2f} ms  speedup {t_x/t_k:.2f}x")
-print("max|dg|", float(jnp.max(jnp.abs(gk-gx))), "max|dH|", float(jnp.max(jnp.abs(Hk-Hx))), "max|dJ|", float(jnp.max(jnp.abs(Jk-Jx))))
+import numpy as _np
+for name, a, b in (("g", gk, gx), ("H", Hk, Hx), ("J", Jk, Jx)):
+    a = _np.asarray(a); b = _np.asarray(b)
+    both = _np.isfinite(a) & _np.isfinite(b)
+    mismatch_nanpat = _np.mean(_np.isfinite(a) != _np.isfinite(b))
+    print(f"{name}: finite frac a={_np.isfinite(a).mean():.4f} b={_np.isfinite(b).mean():.4f} "
+          f"nan-pattern mismatch={mismatch_nanpat:.2e} max|diff| on finite={_np.abs(a-b)[both].max():.3g}")

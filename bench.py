@@ -70,6 +70,7 @@ def main():
         n_outer=2,
         n_inner=6,
         use_ls_kernel=bool(int(os.environ.get("BENCH_KERNEL", "0"))),
+        use_derivs_kernel=bool(int(os.environ.get("BENCH_KERNEL", "0"))),
     )
     step = jax.jit(
         make_batched_racing_step(problem, solver_cfg, temporal, track.data, 0.05, 4)

@@ -68,6 +68,9 @@ def make_mpc_step(problem: problems.MPCProblem, solver_cfg: ALILQRConfig):
             for i in range(solver_cfg.n_alpha)
         ]
         ls_kernel = problem.linesearch_kernel_factory(alphas)
+    derivs_kernel = None
+    if solver_cfg.use_derivs_kernel and problem.derivs_kernel_factory is not None:
+        derivs_kernel = problem.derivs_kernel_factory()
     solve = build_solver(
         problem.fns,
         problem.horizon,
@@ -75,6 +78,7 @@ def make_mpc_step(problem: problems.MPCProblem, solver_cfg: ALILQRConfig):
         problem.u_lo,
         problem.u_hi,
         ls_kernel=ls_kernel,
+        derivs_kernel=derivs_kernel,
     )
 
     def step(carry: MPCCarry, state):

@@ -121,9 +121,10 @@ class MPCProblem(NamedTuple):
     ns_model: int  # physical state dim of the leading model
     u_lo: jnp.ndarray  # (H, nu) rollout control box, solver units
     u_hi: jnp.ndarray
-    # optional factory: alphas -> batched line-search-costs kernel
-    # (the Pallas field-major path; None when unsupported for this family)
+    # optional factories for the Pallas field-major paths
+    # (None when unsupported for this problem family)
     linesearch_kernel_factory: object = None
+    derivs_kernel_factory: object = None
 
 
 def _boundary(ey, ds, w, ey_min, ey_max):
@@ -559,14 +560,26 @@ def build_cascaded_problem(
             run = build_linesearch_kernel_fm(car_config, cfg, H, alphas)
             interp = jax.default_backend() != "tpu"  # interpret off-TPU
             return lambda *a: run(*a, interpret=interp)
+
+        def derivs_kernel_factory():
+            import jax
+
+            from vehicle_control_tpu.solvers.derivs_kernel_fm import (
+                build_derivs_kernel_fm,
+            )
+
+            run = build_derivs_kernel_fm(car_config, cfg, H)
+            interp = jax.default_backend() != "tpu"
+            return lambda *a: run(*a, interpret=interp)
     else:
         linesearch_kernel_factory = None
+        derivs_kernel_factory = None
 
     fns = OCPFunctions(dynamics, stage_cost, constraints)
     return MPCProblem(
         fns, H, nz, nu, nc, u_scale, init_horizon, initial_prediction, 8,
         jnp.asarray(lo, dtype), jnp.asarray(hi, dtype),
-        linesearch_kernel_factory,
+        linesearch_kernel_factory, derivs_kernel_factory,
     )
 
 

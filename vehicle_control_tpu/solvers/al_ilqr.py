@@ -78,7 +78,8 @@ class ALILQRConfig:
     armijo: float = 1e-4
     record_trace: bool = False  # also return per-iteration diagnostics
     use_ls_kernel: bool = False  # Pallas field-major line-search costs
-    # (honored by make_mpc_step when the problem family supports it)
+    use_derivs_kernel: bool = False  # Pallas field-major stage derivatives
+    # (both honored by make_mpc_step when the problem family supports them)
     unroll: int = 4  # lax.scan unroll for the per-stage sweeps: the stages
     # are tiny (10x10 blocks), so dispatch overhead dominates a rolled scan
     # on TPU; unrolling lets XLA fuse several stages per loop iteration
@@ -121,6 +122,7 @@ def build_solver(
     u_lo=None,
     u_hi=None,
     ls_kernel=None,
+    derivs_kernel=None,
 ):
     """Return ``solve(params, z0, U_init, lam_init) -> Solution``.
 
@@ -270,6 +272,55 @@ def build_solver(
     else:
         ls_costs = None
 
+    # -- optional Pallas per-stage-derivatives path ---------------------------
+    # ``derivs_kernel(X, U, lam, mu, curv, ds) -> (g (B,H,nw),
+    # Hw (B,H,nw,nw), J (B,H,nz,nw))``; same custom_vmap splice.
+    if derivs_kernel is not None:
+        from jax import custom_batching
+
+        @custom_batching.custom_vmap
+        def stage_derivs_all(X, U, lam, mu, params):
+            g, Hw, J = jax.vmap(
+                lambda n, z, u, l: _raw_stage_derivs(n, z, u, l, mu, params)
+            )(ns_range, X, U, lam)
+            return g, Hw, J
+
+        @stage_derivs_all.def_vmap
+        def _derivs_rule(axis_size, in_batched, *args):
+            B = axis_size
+            args = jax.tree.map(
+                lambda a, b: a if b else jnp.broadcast_to(
+                    jnp.asarray(a), (B,) + jnp.shape(a)
+                ),
+                tuple(args),
+                tuple(in_batched),
+            )
+            X, U, lam, mu, params = args
+            pad = (-B) % 1024
+            if pad:
+                def padb(a):
+                    return jnp.concatenate(
+                        [a, jnp.broadcast_to(a[-1:], (pad,) + a.shape[1:])], axis=0
+                    )
+
+                X, U, lam, mu = map(padb, (X, U, lam, mu))
+                params = jax.tree.map(padb, params)
+            g, Hw, J = derivs_kernel(X, U, lam, mu, params.curvature, params.ds)
+            return (g[:B], Hw[:B], J[:B]), (True, True, True)
+    else:
+        stage_derivs_all = None
+
+    def _raw_stage_derivs(n, z, u, lam_n, mu, params):
+        """(g, Hw, J) without the block split (the kernel's output contract)."""
+        nz = z.shape[0]
+        w = jnp.concatenate([z, u])
+        cost_fn = lambda w_: al_cost_w(n, w_, lam_n, mu, params, nz)
+        g = jax.grad(cost_fn)(w)
+        Hw = jax.jacfwd(jax.grad(cost_fn))(w)
+        dyn_fn = lambda w_: fns.dynamics(n, w_[:nz], w_[nz:], params)
+        J = jax.jacfwd(dyn_fn)(w)
+        return g, Hw, J
+
     # -- inner iLQR iteration --------------------------------------------------
 
     def inner_step(state, _, lam, mu, params, z0):
@@ -277,7 +328,24 @@ def build_solver(
         nu = U.shape[-1]
         alphas_l = alphas.astype(U.dtype)
 
-        derivs = batched_derivs(ns_range, X, U, lam, mu, params)
+        if stage_derivs_all is not None:
+            g, Hw, J = stage_derivs_all(X, U, lam, mu, params)
+            g = g.astype(U.dtype)
+            Hw = Hw.astype(U.dtype)
+            J = J.astype(U.dtype)
+            Hw = 0.5 * (Hw + Hw.swapaxes(-1, -2))
+            nzd = X.shape[-1]
+            derivs = (
+                g[:, :nzd],
+                g[:, nzd:],
+                Hw[:, :nzd, :nzd],
+                Hw[:, nzd:, :nzd],
+                Hw[:, nzd:, nzd:],
+                J[..., :nzd],
+                J[..., nzd:],
+            )
+        else:
+            derivs = batched_derivs(ns_range, X, U, lam, mu, params)
         kffs, Kfbs, dV1, dV2, bp_fail = backward(derivs, rho, nu)
 
         if ls_costs is not None:
