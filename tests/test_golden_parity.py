@@ -90,3 +90,34 @@ class TestSingletrackGoldenParity:
         assert rep.correlation[0] > 0.8
         assert rep.correlation[1] > 0.8
         assert rep.median_abs_dev[1] < 5e-3
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_DATA), reason="reference not mounted")
+class TestObstacleRunParity:
+    """Obstacle avoidance is multi-modal (pass-left vs pass-right is a
+    discrete choice), so per-step action correlation is not meaningful;
+    parity is judged closed-loop: comparable laptime and genuine clearance.
+    Our golden run (experiments/data/verify_obs_ippodromo) was produced by
+    the full simulator with obstacles enabled."""
+
+    OURS = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "experiments/data/verify_obs_ippodromo",
+    )
+
+    @pytest.mark.skipif(
+        not os.path.isdir(OURS), reason="golden obstacle run not present"
+    )
+    def test_laptime_and_clearance(self, ippodromo_track):
+        import numpy as np
+
+        ours = np.load(os.path.join(self.OURS, "cascaded_state_traj.npy"))
+        ref = np.load(
+            os.path.join(REF_DATA, "cascaded_obstacles1_ippodromo/cascaded_state_traj.npy")
+        )
+        laptime_ours = float(ours[-1, 7])
+        laptime_ref = float(ref[-1, 7])
+        assert laptime_ours < 1.15 * laptime_ref  # within 15% (measured ~7%)
+        for o in ippodromo_track.obstacles:
+            d = np.sqrt((ours[:, 4] - o.s) ** 2 + (ours[:, 5] - o.ey) ** 2).min()
+            assert d > o.radius
