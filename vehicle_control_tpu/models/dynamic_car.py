@@ -2,9 +2,13 @@
 
 Pure-jnp re-derivation of the reference's CasADi symbolic model
 (vehicle_control/models/dynamic_car.py:49-191, implementing Laurense & Gerdes
-TCST 2022 eqs. 1a-1f / 11a-b / 41a-f).  Every function is trace-once,
-``vmap``-clean over arbitrary leading batch axes of states/actions AND over
-the parameter pytree (friction sweeps batch the params themselves).
+TCST 2022 eqs. 1a-1f / 11a-b / 41a-f).  Every function is trace-once and
+``vmap``-clean over arbitrary leading batch axes of states/actions; the
+parameter dataclass broadcasts too, so the model itself supports batched
+(e.g. friction-swept) parameters.  NOTE: the MPC problem builders inline
+parameters as float literals (a Pallas requirement), so scenario batches
+share one parameter set per built problem — sweeps over car/friction
+parameters build one problem per value (scripts/sweep.py --frictions).
 
 State  (ns=8): Ux, Uy, r, delta, s, ey, epsi, t
 Action (na=2): Fx, w

@@ -34,6 +34,12 @@ def main():
     ap.add_argument("--controller", default="singletrack")
     ap.add_argument("--horizon", type=int, default=None)
     ap.add_argument("--track", default="ippodromo")
+    ap.add_argument(
+        "--frictions",
+        default=None,
+        help="comma-separated friction scale factors; runs one batched sweep "
+        "per value (e.g. 0.8,1.0,1.1)",
+    )
     args = ap.parse_args()
 
     from vehicle_control_tpu.controllers.mpc import problems
@@ -56,51 +62,61 @@ def main():
     if args.horizon:
         ctrl["horizon"] = args.horizon
 
-    dtype = jnp.float32
-    if args.controller == "kinematic":
-        carcfg = load_config(os.path.join(root, "configs/models/kinematic_car.yaml"))
-        problem = problems.build_kinematic_problem(carcfg, track, ctrl, dtype)
-        temporal, _ = kc.make_transitions(kc.KinematicCarParams.from_config(carcfg))
-        s_index, ns = 2, 6
-    else:
-        tail = "pm" if "horizon_pm" in ctrl and int(ctrl.get("horizon_pm", 0)) else "none"
-        carcfg = load_config(os.path.join(root, "configs/models/dynamic_car.yaml"))
-        problem = problems.build_cascaded_problem(carcfg, track, ctrl, tail, dtype)
-        temporal, _ = dc.make_transitions(dc.DynamicCarParams.from_config(carcfg))
-        s_index, ns = 4, 8
+    friction_scales = (
+        [float(x) for x in args.frictions.split(",")] if args.frictions else [1.0]
+    )
 
+    dtype = jnp.float32
     n_dev = jax.device_count()
     B = (args.batch // n_dev) * n_dev
-    mesh = scenario_mesh()
-    step = make_sharded_mpc_step(
-        problem, _solver_config(ctrl), temporal, track.data, 0.05, s_index, mesh
-    )
 
-    rng = np.random.default_rng(0)
-    states = np.zeros((B, ns), np.float32)
-    states[:, 0] = 5.0 + rng.uniform(0, 8, B)
-    states[:, s_index] = rng.uniform(0, float(track.length), B)
-    states[:, s_index + 1] = rng.uniform(-1, 1, B)  # ey
-    states = jnp.asarray(states)
-    carries = tile_carry(problem, B, dtype)
+    for mu_scale in friction_scales:
+        if args.controller == "kinematic":
+            carcfg = load_config(os.path.join(root, "configs/models/kinematic_car.yaml"))
+            problem = problems.build_kinematic_problem(carcfg, track, ctrl, dtype)
+            temporal, _ = kc.make_transitions(kc.KinematicCarParams.from_config(carcfg))
+            s_index, ns = 2, 6
+        else:
+            tail = "pm" if "horizon_pm" in ctrl and int(ctrl.get("horizon_pm", 0)) else "none"
+            carcfg = load_config(os.path.join(root, "configs/models/dynamic_car.yaml"))
+            if mu_scale != 1.0:
+                carcfg["env"]["mu"]["f"] = float(carcfg["env"]["mu"]["f"]) * mu_scale
+                carcfg["env"]["mu"]["r"] = float(carcfg["env"]["mu"]["r"]) * mu_scale
+            problem = problems.build_cascaded_problem(carcfg, track, ctrl, tail, dtype)
+            temporal, _ = dc.make_transitions(dc.DynamicCarParams.from_config(carcfg))
+            s_index, ns = 4, 8
 
-    print(f"sweep: {B} scenarios x {args.steps} steps on {n_dev} device(s)")
-    carries, states, actions, stats = step(carries, states)  # compile + warm
-    jax.block_until_ready(states)
-    t0 = time.perf_counter()
-    viols, conv = [], []
-    for i in range(args.steps):
-        carries, states, actions, stats = step(carries, states)
-        viols.append(float(stats.max_violation))
-        conv.append(int(stats.n_converged))
-    jax.block_until_ready(states)
-    wall = time.perf_counter() - t0
-    print(
-        f"throughput: {B * args.steps / wall:.0f} solves/s | "
-        f"convergence {np.mean(conv) / B * 100:.1f}% | "
-        f"fleet max violation p50 {np.percentile(viols, 50):.3g} "
-        f"max {np.max(viols):.3g}"
-    )
+        mesh = scenario_mesh()
+        step = make_sharded_mpc_step(
+            problem, _solver_config(ctrl), temporal, track.data, 0.05, s_index, mesh
+        )
+
+        rng = np.random.default_rng(0)
+        states = np.zeros((B, ns), np.float32)
+        states[:, 0] = 5.0 + rng.uniform(0, 8, B)
+        states[:, s_index] = rng.uniform(0, float(track.length), B)
+        states[:, s_index + 1] = rng.uniform(-1, 1, B)  # ey
+        states = jnp.asarray(states)
+        carries = tile_carry(problem, B, dtype)
+
+        label = f" [friction x{mu_scale}]" if len(friction_scales) > 1 else ""
+        print(f"sweep{label}: {B} scenarios x {args.steps} steps on {n_dev} device(s)")
+        carries, states, actions, stats = step(carries, states)  # compile + warm
+        jax.block_until_ready(states)
+        t0 = time.perf_counter()
+        viols, conv = [], []
+        for i in range(args.steps):
+            carries, states, actions, stats = step(carries, states)
+            viols.append(float(stats.max_violation))
+            conv.append(int(stats.n_converged))
+        jax.block_until_ready(states)
+        wall = time.perf_counter() - t0
+        print(
+            f"throughput{label}: {B * args.steps / wall:.0f} solves/s | "
+            f"convergence {np.mean(conv) / B * 100:.1f}% | "
+            f"fleet max violation p50 {np.percentile(viols, 50):.3g} "
+            f"max {np.max(viols):.3g}"
+        )
 
 
 if __name__ == "__main__":
