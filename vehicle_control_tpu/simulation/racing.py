@@ -149,6 +149,11 @@ class RacingSimulator:
             self.save()
         if self.config.get("logging", False):
             self._write_log()
+        if self.config.get("save_images", False):
+            from vehicle_control_tpu.simulation.render import plot_race_summary
+
+            for name in self.state_traj:
+                plot_race_summary(self, name)
         return self
 
     def _write_log(self):
