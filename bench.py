@@ -77,7 +77,7 @@ def main():
         n_outer=2,
         n_inner=6,
         use_ls_kernel=use_kernels,
-        use_derivs_kernel=use_kernels,
+        use_backward_kernel=use_kernels,  # fused derivs+Riccati kernel
     )
     step = jax.jit(
         make_batched_racing_step(problem, solver_cfg, temporal, track.data, 0.05, 4)

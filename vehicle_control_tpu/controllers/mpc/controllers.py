@@ -71,6 +71,12 @@ def make_mpc_step(problem: problems.MPCProblem, solver_cfg: ALILQRConfig):
     derivs_kernel = None
     if solver_cfg.use_derivs_kernel and problem.derivs_kernel_factory is not None:
         derivs_kernel = problem.derivs_kernel_factory()
+    backward_kernel = None
+    if (
+        solver_cfg.use_backward_kernel
+        and problem.backward_kernel_factory is not None
+    ):
+        backward_kernel = problem.backward_kernel_factory()
     solve = build_solver(
         problem.fns,
         problem.horizon,
@@ -79,6 +85,7 @@ def make_mpc_step(problem: problems.MPCProblem, solver_cfg: ALILQRConfig):
         problem.u_hi,
         ls_kernel=ls_kernel,
         derivs_kernel=derivs_kernel,
+        backward_kernel=backward_kernel,
     )
 
     def step(carry: MPCCarry, state):

@@ -125,6 +125,7 @@ class MPCProblem(NamedTuple):
     # (None when unsupported for this problem family)
     linesearch_kernel_factory: object = None
     derivs_kernel_factory: object = None
+    backward_kernel_factory: object = None
 
 
 def _boundary(ey, ds, w, ey_min, ey_max):
@@ -571,15 +572,28 @@ def build_cascaded_problem(
             run = build_derivs_kernel_fm(car_config, cfg, H)
             interp = jax.default_backend() != "tpu"
             return lambda *a: run(*a, interpret=interp)
+
+        def backward_kernel_factory():
+            import jax
+
+            from vehicle_control_tpu.solvers.backward_kernel_fm import (
+                build_backward_kernel_fm,
+            )
+
+            run = build_backward_kernel_fm(car_config, cfg, H)
+            interp = jax.default_backend() != "tpu"
+            return lambda *a: run(*a, interpret=interp)
     else:
         linesearch_kernel_factory = None
         derivs_kernel_factory = None
+        backward_kernel_factory = None
 
     fns = OCPFunctions(dynamics, stage_cost, constraints)
     return MPCProblem(
         fns, H, nz, nu, nc, u_scale, init_horizon, initial_prediction, 8,
         jnp.asarray(lo, dtype), jnp.asarray(hi, dtype),
         linesearch_kernel_factory, derivs_kernel_factory,
+        backward_kernel_factory,
     )
 
 

@@ -79,7 +79,8 @@ class ALILQRConfig:
     record_trace: bool = False  # also return per-iteration diagnostics
     use_ls_kernel: bool = False  # Pallas field-major line-search costs
     use_derivs_kernel: bool = False  # Pallas field-major stage derivatives
-    # (both honored by make_mpc_step when the problem family supports them)
+    use_backward_kernel: bool = False  # fully-fused Pallas derivs+Riccati
+    # (all honored by make_mpc_step when the problem family supports them)
     unroll: int = 4  # lax.scan unroll for the per-stage sweeps: the stages
     # are tiny (10x10 blocks), so dispatch overhead dominates a rolled scan
     # on TPU; unrolling lets XLA fuse several stages per loop iteration
@@ -123,6 +124,7 @@ def build_solver(
     u_hi=None,
     ls_kernel=None,
     derivs_kernel=None,
+    backward_kernel=None,
 ):
     """Return ``solve(params, z0, U_init, lam_init) -> Solution``.
 
@@ -310,6 +312,47 @@ def build_solver(
     else:
         stage_derivs_all = None
 
+    # -- optional fully-fused Pallas backward pass ----------------------------
+    # ``backward_kernel(X, U, lam, mu, rho, curv, ds) -> (kffs, Kfbs, dV1,
+    # dV2, fail)`` computes derivatives AND the Riccati sweep in one kernel.
+    if backward_kernel is not None:
+        from jax import custom_batching
+
+        @custom_batching.custom_vmap
+        def fused_backward(X, U, lam, mu, rho, params):
+            d = jax.vmap(
+                lambda n, z, u, l: stage_derivs(n, z, u, l, mu, params)
+            )(ns_range, X, U, lam)
+            return riccati_backward(*d, rho, cfg.unroll)
+
+        @fused_backward.def_vmap
+        def _fused_rule(axis_size, in_batched, *args):
+            B = axis_size
+            args = jax.tree.map(
+                lambda a, b: a if b else jnp.broadcast_to(
+                    jnp.asarray(a), (B,) + jnp.shape(a)
+                ),
+                tuple(args),
+                tuple(in_batched),
+            )
+            X, U, lam, mu, rho, params = args
+            pad = (-B) % 1024
+            if pad:
+                def padb(a):
+                    return jnp.concatenate(
+                        [a, jnp.broadcast_to(a[-1:], (pad,) + a.shape[1:])], axis=0
+                    )
+
+                X, U, lam, mu, rho = map(padb, (X, U, lam, mu, rho))
+                params = jax.tree.map(padb, params)
+            kffs, Kfbs, dV1, dV2, fail = backward_kernel(
+                X, U, lam, mu, rho, params.curvature, params.ds
+            )
+            out = (kffs[:B], Kfbs[:B], dV1[:B], dV2[:B], fail[:B])
+            return out, (True,) * 5
+    else:
+        fused_backward = None
+
     def _raw_stage_derivs(n, z, u, lam_n, mu, params):
         """(g, Hw, J) without the block split (the kernel's output contract)."""
         nz = z.shape[0]
@@ -328,7 +371,13 @@ def build_solver(
         nu = U.shape[-1]
         alphas_l = alphas.astype(U.dtype)
 
-        if stage_derivs_all is not None:
+        if fused_backward is not None:
+            kffs, Kfbs, dV1, dV2, bp_fail = fused_backward(
+                X, U, lam, mu, rho, params
+            )
+            kffs = kffs.astype(U.dtype)
+            Kfbs = Kfbs.astype(U.dtype)
+        elif stage_derivs_all is not None:
             g, Hw, J = stage_derivs_all(X, U, lam, mu, params)
             g = g.astype(U.dtype)
             Hw = Hw.astype(U.dtype)
@@ -344,9 +393,10 @@ def build_solver(
                 J[..., :nzd],
                 J[..., nzd:],
             )
+            kffs, Kfbs, dV1, dV2, bp_fail = backward(derivs, rho, nu)
         else:
             derivs = batched_derivs(ns_range, X, U, lam, mu, params)
-        kffs, Kfbs, dV1, dV2, bp_fail = backward(derivs, rho, nu)
+            kffs, Kfbs, dV1, dV2, bp_fail = backward(derivs, rho, nu)
 
         if ls_costs is not None:
             costs = ls_costs(X, U, kffs, Kfbs, lam, mu, params, z0).astype(U.dtype)
