@@ -53,15 +53,16 @@ CURVATURE_DS = 0.05  # curvature table sampling step (reference: track.py:157)
 class TrackData:
     """Device-resident track geometry: uniform-knot cubic spline tables.
 
-    Coefficient arrays have shape (4, n_segments), ascending powers, local
-    parameter t = s - i*ds in [0, ds).
+    Coefficient arrays have shape (n_segments, 4), ascending powers, local
+    parameter t = s - i*ds in [0, ds) — row-major so one gather fetches all
+    four coefficients of a segment (4x fewer gathers on the solver hot path).
     """
 
     length: jnp.ndarray  # scalar
     ds: jnp.ndarray  # scalar knot spacing
-    k_coeffs: jnp.ndarray  # (4, n) curvature spline
-    x_coeffs: jnp.ndarray  # (4, n) centerline x(s)
-    y_coeffs: jnp.ndarray  # (4, n) centerline y(s)
+    k_coeffs: jnp.ndarray  # (n, 4) curvature spline
+    x_coeffs: jnp.ndarray  # (n, 4) centerline x(s)
+    y_coeffs: jnp.ndarray  # (n, 4) centerline y(s)
     width: jnp.ndarray  # scalar track width
     obstacles: jnp.ndarray  # (n_obs, 5): cx, cy, s, ey, radius
     occ_grid: jnp.ndarray  # (n_s, n_ey) binary occupancy over (s, ey)
@@ -71,20 +72,20 @@ class TrackData:
 
 
 def _horner(coeffs, idx, t):
-    c0, c1, c2, c3 = (jnp.take(coeffs[m], idx, axis=0) for m in range(4))
-    return ((c3 * t + c2) * t + c1) * t + c0
+    c = jnp.take(coeffs, idx, axis=0)  # (..., 4): one gather per lookup
+    return ((c[..., 3] * t + c[..., 2]) * t + c[..., 1]) * t + c[..., 0]
 
 
 def _horner_d1(coeffs, idx, t):
-    c1, c2, c3 = (jnp.take(coeffs[m], idx, axis=0) for m in (1, 2, 3))
-    return (3.0 * c3 * t + 2.0 * c2) * t + c1
+    c = jnp.take(coeffs, idx, axis=0)
+    return (3.0 * c[..., 3] * t + 2.0 * c[..., 2]) * t + c[..., 1]
 
 
 def _locate(track: TrackData, s):
     """Wrap s into [0, length) and find the spline segment + local offset."""
     s = jnp.asarray(s)
     s_mod = jnp.mod(s, track.length)
-    n_seg = track.k_coeffs.shape[1]
+    n_seg = track.k_coeffs.shape[0]
     idx = jnp.clip(jnp.floor(s_mod / track.ds).astype(jnp.int32), 0, n_seg - 1)
     t = s_mod - idx.astype(s_mod.dtype) * track.ds
     return idx, t
@@ -404,9 +405,9 @@ def _uniform_cubic_coeffs(s_values: np.ndarray, values: np.ndarray) -> np.ndarra
     """Fit an interpolating cubic spline on a uniform grid; return (4, n-1)
     ascending-power coefficients in the local parameter t = s - s_i."""
     spline = CubicSpline(s_values, values, bc_type="not-a-knot")
-    # scipy stores descending powers: c[m, i] * t**(3-m)
+    # scipy stores descending powers: c[m, i] * t**(3-m); row-major ascending
     c = spline.c
-    return np.stack([c[3], c[2], c[1], c[0]], axis=0)
+    return np.stack([c[3], c[2], c[1], c[0]], axis=1)
 
 
 def _bilinear(xs, ys, grid, x, y):
