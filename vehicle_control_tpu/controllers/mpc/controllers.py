@@ -61,6 +61,21 @@ def make_mpc_step(problem: problems.MPCProblem, solver_cfg: ALILQRConfig):
     Warm-start discipline matches the reference: previous solution seeds both
     the ds/curvature horizon parameters and the solver initial point.
     """
+    any_kernel = (
+        solver_cfg.use_ls_kernel
+        or solver_cfg.use_derivs_kernel
+        or solver_cfg.use_backward_kernel
+    )
+    if any_kernel and problem.u_scale.dtype != jnp.float32:
+        import warnings
+
+        warnings.warn(
+            "Pallas kernel paths compute in f32; requesting them on a "
+            f"{problem.u_scale.dtype} problem silently downgrades derivative/"
+            "line-search precision (outputs are cast back). Build the problem "
+            "with dtype=jnp.float32 for the kernel paths.",
+            stacklevel=2,
+        )
     ls_kernel = None
     if solver_cfg.use_ls_kernel and problem.linesearch_kernel_factory is not None:
         alphas = [

@@ -21,11 +21,25 @@ _LIB_PATH = os.path.join(_NATIVE_DIR, "libvcnative.so")
 _lib = None
 
 
+def _stale():
+    """True when any source/Makefile is newer than the built library."""
+    if not os.path.exists(_LIB_PATH):
+        return True
+    lib_mtime = os.path.getmtime(_LIB_PATH)
+    deps = [os.path.join(_NATIVE_DIR, "Makefile")]
+    src_dir = os.path.join(_NATIVE_DIR, "src")
+    if os.path.isdir(src_dir):
+        deps += [os.path.join(src_dir, f) for f in os.listdir(src_dir)]
+    return any(
+        os.path.exists(d) and os.path.getmtime(d) > lib_mtime for d in deps
+    )
+
+
 def _load():
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH):
+    if _stale():
         subprocess.run(["make", "-C", _NATIVE_DIR], check=True, capture_output=True)
     lib = ctypes.CDLL(_LIB_PATH)
     dptr = ctypes.POINTER(ctypes.c_double)

@@ -64,6 +64,7 @@ class _Entry:
         self.preds = []
         self.elapsed = []
         self.violations = []
+        self.iters = []
         self.done = False
         self.steps = 0
 
@@ -139,6 +140,12 @@ class RacingSimulator:
                 entry.actions.append(np.asarray(recs.action))
                 entry.preds.append(np.asarray(recs.X_pred))
                 entry.violations.append(np.asarray(recs.violation))
+                entry.iters.append(np.asarray(recs.iterations))
+                # NOTE: the jitted loop executes `chunk` steps per dispatch, so
+                # wall-clock is only observable at chunk granularity; per-step
+                # elapsed is the chunk mean (semantics recorded in the saved
+                # config as elapsed_semantics, unlike the reference's genuinely
+                # per-step timings).
                 entry.elapsed.append(np.full(chunk, wall / chunk))
                 entry.steps += chunk
                 s_now = float(state[self.s_index])
@@ -168,10 +175,9 @@ class RacingSimulator:
         with open(path, "w") as fh:
             fh.write(self.summarize() + "\n")
             for name in self.violation_traj:
-                iters = np.zeros_like(self.violation_traj[name])
                 stats = solver_stats(
                     self.violation_traj[name],
-                    iters,
+                    self.iter_traj[name],
                     self.violation_traj[name] < 1e-2,
                 )
                 fh.write(f"{name} solver: {stats}\n")
@@ -183,6 +189,7 @@ class RacingSimulator:
         self.elapsed = {}
         self.pred_traj = {}
         self.violation_traj = {}
+        self.iter_traj = {}
         for name, e in self.entries.items():
             if not e.states:
                 continue
@@ -196,6 +203,7 @@ class RacingSimulator:
             self.elapsed[name] = np.concatenate(e.elapsed)[:end]
             self.pred_traj[name] = np.concatenate(e.preds)[:end]
             self.violation_traj[name] = np.concatenate(e.violations)[:end]
+            self.iter_traj[name] = np.concatenate(e.iters)[:end]
 
     # -- statistics (reference: racing.py:92-106) -----------------------------
 
@@ -233,9 +241,12 @@ class RacingSimulator:
             np.save(os.path.join(path, f"{name}_action_traj.npy"), self.action_traj[name])
             np.save(os.path.join(path, f"{name}_preds.npy"), self._global_preds(name))
             np.save(os.path.join(path, f"{name}_elapsed.npy"), self.elapsed[name])
-            save_config(
-                self.entries[name].config, os.path.join(path, f"{name}_config.yaml")
-            )
+            # per-step elapsed is the chunk-dispatch mean (see run()); record
+            # that so the arrays are not mistaken for the reference's genuinely
+            # per-step timings when analyzed side by side
+            cfg_out = self.entries[name].config
+            cfg_out["elapsed_semantics"] = "chunk_mean"
+            save_config(cfg_out, os.path.join(path, f"{name}_config.yaml"))
         return path
 
     def load(self, path: str | None = None):
