@@ -1,17 +1,26 @@
-"""Throughput bench: batched MPC solves/s on one chip.
+"""Throughput/latency bench: batched MPC solves/s on one chip.
 
 Measures steady-state closed-loop control steps (warm-started AL-iLQR solve
-+ plant step) for the dynamic single-track model at horizon N=30 — the
-BASELINE.json headline metric — batched over scenarios with ``vmap``.
++ plant step) batched over scenarios with ``vmap``, for any of the shipped
+controller families (BENCH_CONFIG):
 
-Baseline: the reference's singletrack IPOPT+MA27 solve, p50 55.7 ms/step on
-its author's CPU => ~17.9 solves/s for the whole machine, single scenario
-(BASELINE.md; experiments/data/race1_ippodromo/singletrack_elapsed.npy).
+* ``singletrack``          dynamic bicycle, N=BENCH_HORIZON (default 30) — the
+                           BASELINE.json headline metric
+* ``cascaded``             flagship cascaded single-track + point-mass tail
+                           (N=20, M=40 — the shipped cascaded.yaml)
+* ``cascaded_obstacles``   same with obstacle barriers on
+* ``cascaded_kinematic``   single-track + kinematic tail (N=20, K=20)
+* ``kinematic``            pure kinematic bicycle (N=50, obstacles on)
+
+Baselines: the reference's per-step IPOPT+MA27 wall-clock arrays
+(BASELINE.md): singletrack p50 55.7 ms, cascaded race3 39.3 ms (N=20+M=35),
+cascaded obstacles 41.0 ms — single scenario on the whole machine.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 
-Env knobs: BENCH_BATCH (scenarios), BENCH_STEPS (timed steps),
-BENCH_HORIZON (default 30), BENCH_DTYPE (f32|bf16|f64).
+Env knobs: BENCH_CONFIG, BENCH_BATCH (scenarios), BENCH_STEPS (timed steps),
+BENCH_HORIZON (singletrack only), BENCH_DTYPE (f32|bf16|f64),
+BENCH_MODE (throughput|latency), BENCH_KERNEL (0/1 Pallas kernels).
 """
 
 import json
@@ -32,12 +41,83 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 import jax.numpy as jnp
 import numpy as np
 
-BASELINE_SOLVES_PER_S = 1000.0 / 55.7  # reference singletrack p50
+# reference single-scenario p50 step latency per family (BASELINE.md)
+BASELINE_MS = {
+    "singletrack": 55.7,
+    "cascaded": 39.3,  # race3: N=20+M=35, closest to the shipped M=40 config
+    "cascaded_obstacles": 41.0,
+    "cascaded_kinematic": 39.3,  # the reference ships no run for this
+    # controller; the plain-cascaded baseline is the nearest comparator
+    "kinematic": 55.7,  # no kinematic elapsed arrays shipped; singletrack
+    # p50 is the only same-machine comparator
+}
+
+
+def build(config_name, N, dtype):
+    from vehicle_control_tpu.controllers.mpc import problems
+    from vehicle_control_tpu.controllers.mpc.controllers import _solver_config
+    from vehicle_control_tpu.environment.track import Track
+    from vehicle_control_tpu.models import dynamic_car as dc
+    from vehicle_control_tpu.models import kinematic_car as kc
+    from vehicle_control_tpu.utils.config import load_config, project_root
+
+    root = project_root()
+    track = Track(load_config(os.path.join(root, "configs/environment/ippodromo.yaml")))
+
+    if config_name == "kinematic":
+        carcfg = load_config(os.path.join(root, "configs/models/kinematic_car.yaml"))
+        ctrl = load_config(os.path.join(root, "configs/controllers/kinematic.yaml"))
+        problem = problems.build_kinematic_problem(carcfg, track, ctrl, dtype)
+        p = kc.KinematicCarParams.from_config(carcfg)
+        temporal, _ = kc.make_transitions(p)
+        s_index, ns = 2, 6
+        solver = dict(n_outer=3, n_inner=8)
+    else:
+        carcfg = load_config(os.path.join(root, "configs/models/dynamic_car.yaml"))
+        if config_name == "singletrack":
+            ctrl = load_config(os.path.join(root, "configs/controllers/singletrack.yaml"))
+            ctrl["obstacles"] = False
+            ctrl["horizon"] = N
+            tail = "none"
+            solver = dict(n_outer=2, n_inner=6)
+        elif config_name in ("cascaded", "cascaded_obstacles"):
+            ctrl = load_config(os.path.join(root, "configs/controllers/cascaded.yaml"))
+            ctrl["obstacles"] = config_name == "cascaded_obstacles"
+            tail = "pm"
+            solver = dict(n_outer=3, n_inner=8)
+        elif config_name == "cascaded_kinematic":
+            ctrl = load_config(
+                os.path.join(root, "configs/controllers/cascaded_kinematic.yaml")
+            )
+            ctrl["obstacles"] = False
+            tail = "kc"
+            solver = dict(n_outer=4, n_inner=12)
+        else:
+            raise SystemExit(f"unknown BENCH_CONFIG {config_name}")
+        problem = problems.build_cascaded_problem(carcfg, track, ctrl, tail, dtype)
+        p = dc.DynamicCarParams.from_config(carcfg)
+        temporal, _ = dc.make_transitions(p)
+        s_index, ns = 4, 8
+    return problem, temporal, track, solver, s_index, ns
+
+
+def initial_states(track, ns, B, rng):
+    states = np.zeros((B, ns), np.float64)
+    if ns == 8:  # dynamic bicycle
+        states[:, 0] = 6.0 + rng.uniform(0, 8, B)  # Ux spread
+        states[:, 4] = rng.uniform(0, float(track.length), B)
+        states[:, 5] = rng.uniform(-1.0, 1.0, B)  # ey spread
+    else:  # kinematic
+        states[:, 0] = 2.0 + rng.uniform(0, 6, B)
+        states[:, 2] = rng.uniform(0, float(track.length), B)
+        states[:, 3] = rng.uniform(-1.0, 1.0, B)
+    return states
 
 
 def main():
     platform = jax.devices()[0].platform
     mode = os.environ.get("BENCH_MODE", "throughput")  # or "latency"
+    config_name = os.environ.get("BENCH_CONFIG", "singletrack")
     if mode == "latency":
         B = 1
         K = int(os.environ.get("BENCH_STEPS", 50))
@@ -49,47 +129,39 @@ def main():
         os.environ.get("BENCH_DTYPE", "f32")
     ]
 
-    from vehicle_control_tpu.controllers.mpc import problems
-    from vehicle_control_tpu.models import dynamic_car as dc
-    from vehicle_control_tpu.parallel import make_batched_racing_step, tile_carry
-    from vehicle_control_tpu.environment.track import Track
+    from vehicle_control_tpu.parallel import aligned_carry, make_batched_racing_step
     from vehicle_control_tpu.solvers import ALILQRConfig
-    from vehicle_control_tpu.utils.config import load_config, project_root
 
-    root = project_root()
-    track = Track(load_config(os.path.join(root, "configs/environment/ippodromo.yaml")))
-    carcfg = load_config(os.path.join(root, "configs/models/dynamic_car.yaml"))
-    ctrl = load_config(os.path.join(root, "configs/controllers/singletrack.yaml"))
-    ctrl["obstacles"] = False
-    ctrl["horizon"] = N
-    problem = problems.build_cascaded_problem(carcfg, track, ctrl, "none", dtype)
-    p = dc.DynamicCarParams.from_config(carcfg)
-    temporal, _ = dc.make_transitions(p)
+    problem, temporal, track, solver, s_index, ns = build(config_name, N, dtype)
 
     # Pallas field-major kernels are the default hot path on TPU for the
-    # batched throughput bench (measured +20% vs the XLA-only path, bitwise-
-    # equal derivatives, 100% convergence); the single-scenario latency mode
-    # keeps the XLA path (a B=1 solve would pad to the 1024-lane tile).
+    # batched throughput bench; the single-scenario latency mode keeps the
+    # XLA path (a B=1 solve would pad to the 1024-lane tile).
     use_kernels = bool(
         int(os.environ.get("BENCH_KERNEL", "1" if platform == "tpu" else "0"))
     ) and mode != "latency"
     solver_cfg = ALILQRConfig(
-        n_outer=2,
-        n_inner=6,
+        n_outer=solver["n_outer"],
+        n_inner=solver["n_inner"],
         use_ls_kernel=use_kernels,
         use_backward_kernel=use_kernels,  # fused derivs+Riccati kernel
+        # latency mode: associative-scan Riccati cuts the backward sweep's
+        # serial depth from O(H) to O(log H) (BENCH_PAR_RICCATI=0 disables)
+        use_parallel_riccati=(
+            mode == "latency"
+            and bool(int(os.environ.get("BENCH_PAR_RICCATI", "1")))
+        ),
     )
     step = jax.jit(
-        make_batched_racing_step(problem, solver_cfg, temporal, track.data, 0.05, 4)
+        make_batched_racing_step(problem, solver_cfg, temporal, track.data, 0.05, s_index)
     )
 
     rng = np.random.default_rng(0)
-    states = np.zeros((B, 8), np.float64)
-    states[:, 0] = 6.0 + rng.uniform(0, 8, B)  # Ux spread
-    states[:, 4] = rng.uniform(0, float(track.length), B)  # track position spread
-    states[:, 5] = rng.uniform(-1.0, 1.0, B)  # ey spread
-    states = jnp.asarray(states, dtype)
-    carries = tile_carry(problem, B, dtype)
+    states = jnp.asarray(initial_states(track, ns, B, rng), dtype)
+    # physics-informed state-aligned warm start: scenarios are dropped
+    # mid-track at speed, which the standing-start carry can't recover from
+    # on the cascaded families (see parallel.aligned_carry)
+    carries = aligned_carry(problem, states, dtype)
 
     # warmup: compile + 2 steps to reach warm-started steady state
     carries, states, actions, infos = step(carries, states)
@@ -106,14 +178,16 @@ def main():
     step_ms = float(np.median(times) * 1e3)
     solves_per_s = B / np.median(times)
     conv = float(jnp.mean(infos.converged.astype(jnp.float32)))
+    baseline_ms = BASELINE_MS[config_name]
+    baseline_solves = 1000.0 / baseline_ms
+    label = config_name if config_name != "singletrack" else f"dynamic bicycle N={N}"
 
     if mode == "latency":
-        # reference singletrack p50 is 55.7 ms; real-time budget 50 ms
         out = {
-            "metric": f"MPC p50 solve latency, dynamic bicycle N={N}, single scenario",
+            "metric": f"MPC p50 solve latency, {label}, single scenario",
             "value": round(step_ms, 2),
             "unit": "ms",
-            "vs_baseline": round(55.7 / step_ms, 2),
+            "vs_baseline": round(baseline_ms / step_ms, 2),
             "p95_ms": round(float(np.percentile(np.asarray(times) * 1e3, 95)), 2),
             "meets_50ms_budget": bool(step_ms < 50.0),
             "converged_frac": round(conv, 4),
@@ -122,10 +196,10 @@ def main():
         }
     else:
         out = {
-            "metric": f"MPC solves/s/chip, dynamic bicycle N={N}",
+            "metric": f"MPC solves/s/chip, {label}",
             "value": round(float(solves_per_s), 1),
             "unit": "solves/s",
-            "vs_baseline": round(float(solves_per_s / BASELINE_SOLVES_PER_S), 2),
+            "vs_baseline": round(float(solves_per_s / baseline_solves), 2),
             "batch": B,
             "step_ms": round(step_ms, 2),
             "converged_frac": round(conv, 4),

@@ -142,13 +142,15 @@ class TestFieldMajorKernel:
         cfg = dict(_cfg("controllers/singletrack.yaml"), obstacles=False)
         cfg["horizon"] = 8
         alphas = jnp.asarray([1.0, 0.25, 0.01], jnp.float32)
+        from vehicle_control_tpu.solvers.fm_family import build_cascaded_family
         from vehicle_control_tpu.solvers.rollout_kernel import B_TILE
 
         B = B_TILE
         Xref, Uref, kff, Kfb, lam, mu, pv, zv = _data(prob, B)
-        run = build_linesearch_kernel_fm(
-            _cfg("models/dynamic_car.yaml"), cfg, prob.horizon, alphas
+        fam = build_cascaded_family(
+            _cfg("models/dynamic_car.yaml"), cfg, "none", ippodromo_track.data
         )
+        run = build_linesearch_kernel_fm(fam, alphas)
         costs = run(
             Xref, Uref, kff, Kfb, lam, mu, pv.curvature, pv.ds, zv, interpret=True
         )
@@ -258,7 +260,12 @@ class TestFieldMajorDerivsKernel:
             in_axes=(0, 0, 0, 0, 0),
         )(Xref, Uref, lam, mu, pv)
 
-        run = build_derivs_kernel_fm(_cfg("models/dynamic_car.yaml"), cfg, H)
+        from vehicle_control_tpu.solvers.fm_family import build_cascaded_family
+
+        fam = build_cascaded_family(
+            _cfg("models/dynamic_car.yaml"), cfg, "none", setup_track_for_derivs().data
+        )
+        run = build_derivs_kernel_fm(fam)
         g, Hw, J = run(
             Xref, Uref, lam, mu, pv.curvature, pv.ds, interpret=True
         )

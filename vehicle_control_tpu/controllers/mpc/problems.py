@@ -126,6 +126,11 @@ class MPCProblem(NamedTuple):
     linesearch_kernel_factory: object = None
     derivs_kernel_factory: object = None
     backward_kernel_factory: object = None
+    # (state0,) -> (X_pred, U_pred): physics-informed cold-start prediction
+    # for a scenario dropped mid-track (curvature feed-forward); see
+    # parallel.aligned_carry.  The plain initial_prediction (the reference's
+    # standing-start seed) stays the simulator default.
+    warm_start: object = None
 
 
 def _boundary(ey, ds, w, ey_min, ey_max):
@@ -212,6 +217,51 @@ def _floatify(params):
     return type(params)(
         **{f.name: float(getattr(params, f.name)) for f in _dc.fields(params)}
     )
+
+
+def _make_kernel_factories(family_fn):
+    """Pallas field-major kernel factories for a lazily-built FM family.
+
+    The family (solvers.fm_family) is the field-major twin of the problem
+    closures; kernels are generic over it, so every family — cascaded pm/kc,
+    single-track, kinematic, with or without obstacles — gets the TPU hot
+    path.  Off-TPU the kernels run in (slow) interpret mode for parity tests.
+    """
+
+    def linesearch_kernel_factory(alphas):
+        import jax
+
+        from vehicle_control_tpu.solvers.rollout_kernel_fm import (
+            build_linesearch_kernel_fm,
+        )
+
+        run = build_linesearch_kernel_fm(family_fn(), alphas)
+        interp = jax.default_backend() != "tpu"
+        return lambda *a: run(*a, interpret=interp)
+
+    def derivs_kernel_factory():
+        import jax
+
+        from vehicle_control_tpu.solvers.derivs_kernel_fm import (
+            build_derivs_kernel_fm,
+        )
+
+        run = build_derivs_kernel_fm(family_fn())
+        interp = jax.default_backend() != "tpu"
+        return lambda *a: run(*a, interpret=interp)
+
+    def backward_kernel_factory():
+        import jax
+
+        from vehicle_control_tpu.solvers.backward_kernel_fm import (
+            build_backward_kernel_fm,
+        )
+
+        run = build_backward_kernel_fm(family_fn())
+        interp = jax.default_backend() != "tpu"
+        return lambda *a: run(*a, interpret=interp)
+
+    return linesearch_kernel_factory, derivs_kernel_factory, backward_kernel_factory
 
 
 def build_cascaded_problem(
@@ -530,6 +580,31 @@ def build_cascaded_problem(
         X0[:, 0] = 4.0
         return jnp.asarray(X0, dtype), jnp.zeros((H, nu), dtype)
 
+    def warm_start(state0):
+        """Curvature feed-forward cold-start guess for a mid-track drop.
+
+        A single-shooting rollout of U=0 diverges on the long low-fidelity
+        tail (ey integrates away over M coarse Euler stages and the fixed
+        iteration budget cannot crawl back); seeding speed-consistent ds and
+        steady-state controls (Fx = drag, tail Fy = m V^2 k) puts the first
+        rollout in the convergence basin for any physical drop state.
+        """
+        state0 = jnp.asarray(state0, dtype)
+        Ux0 = jnp.maximum(state0[0], 1.0)
+        X0 = jnp.ones((H, nz), dtype).at[:, 0].set(Ux0)
+        dragF = p.Frr + p.Cd * Ux0**2
+        U0 = jnp.zeros((H, nu), dtype).at[:, 0].set(dragF / FORCE_SCALE)
+        if tail == "pm":
+            s_st = state0[4] + mpc_dt * Ux0 * jnp.arange(N, dtype=dtype)
+            s_tail = s_st[-1] + float(cfg["ds_pm"]) * jnp.arange(
+                1, M + 1, dtype=dtype
+            )
+            k_tail = track_mod.curvature(track_data, s_tail).astype(dtype)
+            U0 = U0.at[N:, 1].set(p.m * Ux0**2 * k_tail / FORCE_SCALE)
+        elif tail == "kc":
+            U0 = U0.at[N:, 0].set(0.0)  # kc tail: a = 0 holds speed
+        return X0, U0
+
     # Rollout control boxes (solver units).  The steer-rate box is the real
     # constraint; the force boxes are loose physical sanity bounds (the tight,
     # state-dependent engine/friction limits live in the AL constraints) that
@@ -550,50 +625,21 @@ def build_cascaded_problem(
         hi[N:, 0] = cons_in["a_max"] / FORCE_SCALE
         lo[N:, 1], hi[N:, 1] = cons_in["w_min"], cons_in["w_max"]
 
-    if tail == "none" and not obstacles_on:
-        def linesearch_kernel_factory(alphas):
-            import jax
+    def _family():
+        from vehicle_control_tpu.solvers.fm_family import build_cascaded_family
 
-            from vehicle_control_tpu.solvers.rollout_kernel_fm import (
-                build_linesearch_kernel_fm,
-            )
+        return build_cascaded_family(car_config, cfg, tail, track_data)
 
-            run = build_linesearch_kernel_fm(car_config, cfg, H, alphas)
-            interp = jax.default_backend() != "tpu"  # interpret off-TPU
-            return lambda *a: run(*a, interpret=interp)
-
-        def derivs_kernel_factory():
-            import jax
-
-            from vehicle_control_tpu.solvers.derivs_kernel_fm import (
-                build_derivs_kernel_fm,
-            )
-
-            run = build_derivs_kernel_fm(car_config, cfg, H)
-            interp = jax.default_backend() != "tpu"
-            return lambda *a: run(*a, interpret=interp)
-
-        def backward_kernel_factory():
-            import jax
-
-            from vehicle_control_tpu.solvers.backward_kernel_fm import (
-                build_backward_kernel_fm,
-            )
-
-            run = build_backward_kernel_fm(car_config, cfg, H)
-            interp = jax.default_backend() != "tpu"
-            return lambda *a: run(*a, interpret=interp)
-    else:
-        linesearch_kernel_factory = None
-        derivs_kernel_factory = None
-        backward_kernel_factory = None
+    linesearch_kernel_factory, derivs_kernel_factory, backward_kernel_factory = (
+        _make_kernel_factories(_family)
+    )
 
     fns = OCPFunctions(dynamics, stage_cost, constraints)
     return MPCProblem(
         fns, H, nz, nu, nc, u_scale, init_horizon, initial_prediction, 8,
         jnp.asarray(lo, dtype), jnp.asarray(hi, dtype),
         linesearch_kernel_factory, derivs_kernel_factory,
-        backward_kernel_factory,
+        backward_kernel_factory, warm_start,
     )
 
 
@@ -698,10 +744,25 @@ def build_kinematic_problem(
         X0[:, 0] = 0.1
         return jnp.asarray(X0, dtype), jnp.zeros((H, nu), dtype)
 
+    def warm_start(state0):
+        """Speed-aligned cold-start guess (see the cascaded builder)."""
+        state0 = jnp.asarray(state0, dtype)
+        v0 = jnp.maximum(state0[0], 0.1)
+        X0 = jnp.zeros((H, nz), dtype).at[:, 0].set(v0)
+        return X0, jnp.zeros((H, nu), dtype)
+
     lo = np.tile([cons_in["a_min"], cons_in["w_min"]], (H, 1))
     hi = np.tile([cons_in["a_max"], cons_in["w_max"]], (H, 1))
+
+    def _family():
+        from vehicle_control_tpu.solvers.fm_family import build_kinematic_family
+
+        return build_kinematic_family(car_config, cfg, track_data)
+
+    ls_f, derivs_f, backward_f = _make_kernel_factories(_family)
     fns = OCPFunctions(dynamics, stage_cost, constraints)
     return MPCProblem(
         fns, H, nz, nu, nc, u_scale, init_horizon, initial_prediction, 6,
         jnp.asarray(lo, dtype), jnp.asarray(hi, dtype),
+        ls_f, derivs_f, backward_f, warm_start,
     )

@@ -1,4 +1,5 @@
 from vehicle_control_tpu.parallel.batch import (
+    aligned_carry,
     make_batched_mpc_step,
     make_batched_racing_step,
     tile_carry,
@@ -9,6 +10,7 @@ from vehicle_control_tpu.parallel.mesh import (
 )
 
 __all__ = [
+    "aligned_carry",
     "make_batched_mpc_step",
     "make_batched_racing_step",
     "tile_carry",

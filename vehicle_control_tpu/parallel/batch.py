@@ -27,6 +27,24 @@ def tile_carry(problem, batch: int, dtype=None) -> MPCCarry:
     return MPCCarry(*(jnp.broadcast_to(a, (batch,) + a.shape) for a in c))
 
 
+def aligned_carry(problem, states, dtype=None) -> MPCCarry:
+    """State-aligned warm-start carries for scenarios dropped mid-track.
+
+    Uses the problem's physics-informed ``warm_start`` (speed-consistent ds
+    horizon + curvature feed-forward controls) so a batch initialized at
+    arbitrary physical states starts inside the solver's convergence basin —
+    the standing-start ``tile_carry`` seed leaves long-tail cascaded solves
+    unrecoverable (see problems.build_cascaded_problem.warm_start).
+    """
+    if problem.warm_start is None:
+        return tile_carry(problem, jnp.shape(states)[0], dtype)
+    X0, U0 = jax.vmap(problem.warm_start)(jnp.asarray(states))
+    if dtype is not None:
+        X0, U0 = X0.astype(dtype), U0.astype(dtype)
+    lam0 = jnp.zeros((X0.shape[0], problem.horizon, problem.nc), X0.dtype)
+    return MPCCarry(X0, U0, lam0)
+
+
 def make_batched_mpc_step(problem, solver_cfg):
     """vmap of the pure MPC step over (carry, state) scenario batches.
 

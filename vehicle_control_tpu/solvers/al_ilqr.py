@@ -81,6 +81,9 @@ class ALILQRConfig:
     use_derivs_kernel: bool = False  # Pallas field-major stage derivatives
     use_backward_kernel: bool = False  # fully-fused Pallas derivs+Riccati
     # (all honored by make_mpc_step when the problem family supports them)
+    use_parallel_riccati: bool = False  # associative-scan Riccati: O(log H)
+    # serial depth — the single-scenario latency path (SURVEY §2.3 SP axis);
+    # the sequential sweep stays default for the batched throughput path
     unroll: int = 4  # lax.scan unroll for the per-stage sweeps: the stages
     # are tiny (10x10 blocks), so dispatch overhead dominates a rolled scan
     # on TPU; unrolling lets XLA fuse several stages per loop iteration
@@ -204,6 +207,12 @@ def build_solver(
 
     def backward(derivs, rho, nu):
         lz, lu, lzz, luz, luu, A, B = derivs
+        if cfg.use_parallel_riccati:
+            from vehicle_control_tpu.solvers.riccati_parallel import (
+                riccati_backward_parallel,
+            )
+
+            return riccati_backward_parallel(lz, lu, lzz, luz, luu, A, B, rho)
         return riccati_backward(lz, lu, lzz, luz, luu, A, B, rho, cfg.unroll)
 
     # -- closed-loop forward pass (one line-search candidate) ----------------

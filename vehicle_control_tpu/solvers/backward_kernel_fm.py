@@ -3,48 +3,37 @@
 One kernel per 1024-scenario tile sweeps the horizon backward; at every
 stage it differentiates the AL stage cost and dynamics *in-kernel* (same
 technique as derivs_kernel_fm) and immediately consumes the results in the
-Riccati recursion — the (B, H, 12, 12)-sized derivative tensors never touch
+Riccati recursion — the (B, H, NW, NW)-sized derivative tensors never touch
 HBM and no tile/untile transposes are needed.  Only the feedback law
 (kff, Kfb), the expected-decrease terms and the PD-failure flag leave the
 kernel.
 
-Value function state lives in VMEM as 10 + 100 individual (8, 128) field
+Value function state lives in VMEM as NZ + NZ*NZ individual (8, 128) field
 tiles carried through ``fori_loop``; all linear algebra is explicit
 field-loop FMAs (the 2x2 Quu solve in closed form per lane).
 
-Single-track family (the bench headline); equivalence-tested against
-riccati_backward(stage_derivs(...)).
+Generic over any :class:`solvers.fm_family.FMFamily` with NU == 2 (every
+shipped MPC family); equivalence-tested against
+``riccati_backward(stage_derivs(...))`` in tests/test_backward_kernel.py.
 """
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from vehicle_control_tpu.models import dynamic_car as dc
-from vehicle_control_tpu.solvers import fm_singletrack as fm
-
 SUB, LANE = 8, 128
 B_TILE = SUB * LANE
-NZ, NU, NC = 10, 2, 10
-NW = NZ + NU
 
 
-def build_backward_kernel_fm(car_config, cfg, horizon):
+def build_backward_kernel_fm(family):
     """Returns ``run(X, U, lam, mu, rho, curv, ds, interpret=False) ->
     (kffs (B,H,NU), Kfbs (B,H,NU,NZ), dV1 (B,), dV2 (B,), fail (B,))``."""
-    from vehicle_control_tpu.controllers.mpc.problems import _floatify
-
-    p = _floatify(dc.DynamicCarParams.from_config(car_config))
-    H = int(horizon)
-    N = int(cfg["horizon"])
-    assert H == N and not bool(cfg.get("obstacles", False))
-    w_ = {k: float(v) for k, v in cfg["cost_weights"].items()}
-    ci = {k: float(v) for k, v in cfg["input_constraints"].items()}
-    cs = {k: float(v) for k, v in cfg["state_constraints"].items()}
+    NZ, NU, NC, H = family.NZ, family.NU, family.NC, family.H
+    NW = NZ + NU
+    assert NU == 2, "closed-form Quu solve is specialized to 2 controls"
 
     def kernel(
         x_ref,  # (1, H, NZ, 8, 128)
@@ -63,31 +52,19 @@ def build_backward_kernel_fm(car_config, cfg, horizon):
         rho = rho_ref[0, 0]
         ones = jnp.ones((SUB, LANE), jnp.float32)
         zeros = jnp.zeros((SUB, LANE), jnp.float32)
+        ds_read = lambda i: ds_ref[0, i]
 
         def stage_derivs(n):
             kv = curv_ref[0, n]
-            dsn = ds_ref[0, n]
-            ds_prev = ds_ref[0, jnp.maximum(n - 1, 0)]
             lam = [lam_ref[0, n, j] for j in range(NC)]
 
             def al_cost(*wf):
-                x = list(wf[:8])
-                Fx = wf[10] * fm.FORCE_SCALE
-                wact = wf[11]
-                Fx_prev = wf[8] * fm.FORCE_SCALE
-                c = fm.stage_cost_fields(
-                    n, x, Fx, wact, Fx_prev, dsn, ds_prev, p, w_, cs, N, H
+                return jnp.sum(
+                    family.al_cost(n, wf, lambda j: lam[j], mu, kv, ds_read)
                 )
-                cons = fm.constraint_fields(x, Fx, wact, p, ci, cs)
-                c = c + fm.al_penalty_fields(cons, lambda j: lam[j], mu)
-                return jnp.sum(c)
 
             def dyn(*wf):
-                x = list(wf[:8])
-                Fx = wf[10] * fm.FORCE_SCALE
-                wact = wf[11]
-                x_next = fm.rk4_step(x, Fx, wact, kv, dsn, p)
-                return tuple(x_next) + (wf[10], wf[11])
+                return family.dyn(n, wf, kv, ds_read)
 
             wf = tuple(x_ref[0, n, i] for i in range(NZ)) + tuple(
                 u_ref[0, n, j] for j in range(NU)
@@ -170,7 +147,6 @@ def build_backward_kernel_fm(car_config, cfg, horizon):
                 return (d * r0 - b * r1) * inv_det, (a * r1 - b * r0) * inv_det
 
             k0, k1 = solve2(-Qu[0], -Qu[1])
-            kff = [k0, k1]
             Kfb = [[None] * NZ, [None] * NZ]
             for c in range(NZ):
                 K0, K1 = solve2(-Qux[0][c], -Qux[1][c])

@@ -1,21 +1,22 @@
-"""Pallas TPU kernel: field-major per-stage derivatives (single-track).
+"""Pallas TPU kernel: field-major per-stage derivatives (any FM family).
 
 Computes, for every (stage, scenario), the quantities the Riccati backward
 pass consumes: AL-cost gradient g, Hessian Hw, and dynamics Jacobian J over
-the combined w = (z(10), u(2)).  The XLA path does this with
+the combined w = (z(NZ), u(NU)).  The XLA path does this with
 vmap(jacfwd(grad)) whose tangent/stage batching materializes badly-padded
-(B, H, 12, .) intermediates; here the AD happens *inside* the kernel over
+(B, H, NW, .) intermediates; here the AD happens *inside* the kernel over
 field-major (8, 128) tiles:
 
 * grid = (H, B/1024) — stages are independent, so each program handles one
   (stage, scenario-tile) pair and the whole thing pipelines;
-* gradient: jax.grad of the lane-summed AL cost wrt the 12 individual field
+* gradient: jax.grad of the lane-summed AL cost wrt the NW individual field
   tiles (per-lane costs are diagonal in the batch, so the cotangent of the
   sum IS the per-scenario gradient);
 * Hessian / Jacobian columns: jax.jvp with a ones-tile tangent on exactly
   one field per column — again exact because the computation is per-lane.
 
-Shares the physics with rollout_kernel_fm via fm_singletrack, and is
+The AL cost / dynamics closures come from :mod:`solvers.fm_family`
+(shared with the fused backward and line-search kernels) and are
 equivalence-tested against the solver's stage_derivs.
 """
 
@@ -23,32 +24,19 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from vehicle_control_tpu.models import dynamic_car as dc
-from vehicle_control_tpu.solvers import fm_singletrack as fm
-
 SUB, LANE = 8, 128
 B_TILE = SUB * LANE
-NW = 12  # z(10) + u(2)
-NZ, NU, NC = 10, 2, 10
 
 
-def build_derivs_kernel_fm(car_config, cfg, horizon):
+def build_derivs_kernel_fm(family):
     """Returns ``run(X, U, lam, mu, curv, ds, interpret=False) ->
-    (g (B,H,NW), Hw (B,H,NW,NW), J (B,H,NZ,NW))`` for the single-track
-    problem.  Hw is returned unsymmetrized (the solver symmetrizes)."""
-    from vehicle_control_tpu.controllers.mpc.problems import _floatify
-
-    p = _floatify(dc.DynamicCarParams.from_config(car_config))
-    H = int(horizon)
-    N = int(cfg["horizon"])
-    assert H == N and not bool(cfg.get("obstacles", False))
-    w_ = {k: float(v) for k, v in cfg["cost_weights"].items()}
-    ci = {k: float(v) for k, v in cfg["input_constraints"].items()}
-    cs = {k: float(v) for k, v in cfg["state_constraints"].items()}
+    (g (B,H,NW), Hw (B,H,NW,NW), J (B,H,NZ,NW))``.  Hw is returned
+    unsymmetrized (the solver symmetrizes)."""
+    NZ, NU, NC, H = family.NZ, family.NU, family.NC, family.H
+    NW = NZ + NU
 
     def kernel(
         x_ref,  # (1, 1, NZ, 8, 128)   stage slice of Z
@@ -56,7 +44,7 @@ def build_derivs_kernel_fm(car_config, cfg, horizon):
         lam_ref,  # (1, 1, NC, 8, 128)
         mu_ref,  # (1, 1, 8, 128)
         curv_ref,  # (1, 1, 8, 128)
-        ds_ref,  # (1, H, 8, 128)  full ds row (needs ds[n-1])
+        ds_ref,  # (1, H, 8, 128)  full ds row (stage costs need ds[n-1] etc.)
         g_out,  # (1, 1, NW, 8, 128)
         h_out,  # (1, 1, NW, NW, 8, 128)
         j_out,  # (1, 1, NZ, NW, 8, 128)
@@ -64,30 +52,16 @@ def build_derivs_kernel_fm(car_config, cfg, horizon):
         n = pl.program_id(0)
         mu = mu_ref[0, 0]
         kv = curv_ref[0, 0]
-        dsn = ds_ref[0, n]
-        ds_prev = ds_ref[0, jnp.maximum(n - 1, 0)]
         lam = [lam_ref[0, 0, j] for j in range(NC)]
+        ds_read = lambda i: ds_ref[0, i]
 
         def al_cost(*wf):
-            # wf: 12 field tiles: z(10) + u_solver(2)
-            x = list(wf[:8])
-            Fx = wf[10] * fm.FORCE_SCALE
-            wact = wf[11]
-            Fx_prev = wf[8] * fm.FORCE_SCALE
-            c = fm.stage_cost_fields(
-                n, x, Fx, wact, Fx_prev, dsn, ds_prev, p, w_, cs, N, H
+            return jnp.sum(
+                family.al_cost(n, wf, lambda j: lam[j], mu, kv, ds_read)
             )
-            cons = fm.constraint_fields(x, Fx, wact, p, ci, cs)
-            c = c + fm.al_penalty_fields(cons, lambda j: lam[j], mu)
-            return jnp.sum(c)
 
         def dyn(*wf):
-            # returns the 10 next-state fields (rk4 on x, prev-action update)
-            x = list(wf[:8])
-            Fx = wf[10] * fm.FORCE_SCALE
-            wact = wf[11]
-            x_next = fm.rk4_step(x, Fx, wact, kv, dsn, p)
-            return tuple(x_next) + (wf[10], wf[11])
+            return family.dyn(n, wf, kv, ds_read)
 
         wf = tuple(x_ref[0, 0, i] for i in range(NZ)) + tuple(
             u_ref[0, 0, j] for j in range(NU)

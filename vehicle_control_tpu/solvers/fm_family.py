@@ -1,0 +1,403 @@
+"""Field-major problem families for the Pallas TPU kernels.
+
+One builder covers every MPC formulation the framework ships (reference:
+cascaded_mpc.py, cascaded_kinematic_mpc.py, kinematic_mpc.py) in the
+field-major layout the kernels require: state/controls as individual
+(8, 128) tiles, stage-switched physics computed from the *traced* stage
+index, every weight/parameter inlined as a float literal (Mosaic cannot
+capture array constants), static obstacle discs unrolled at build time.
+
+A family is the single source of truth for the in-kernel AL cost and
+dynamics — the derivatives kernel, the fused backward kernel and the
+line-search kernel all consume the same closures (hoisting the previously
+duplicated al_cost/dyn bodies out of the individual kernels).
+
+The closures mirror controllers.mpc.problems exactly (equivalence-tested in
+tests/test_rollout_kernel.py / test_backward_kernel.py); multiply-masked
+branch structure is replicated 1:1 so kernel results match the XLA path
+bitwise where the round-1 single-track kernels already did.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from vehicle_control_tpu.models import dynamic_car as dc
+from vehicle_control_tpu.solvers import fm_singletrack as fm
+from vehicle_control_tpu.utils.math import arctan, safe_div, tan
+
+FORCE_SCALE = fm.FORCE_SCALE
+OBSTACLE_EPS = 1e-2  # problems.OBSTACLE_EPS
+
+
+class FMFamily(NamedTuple):
+    """Kernel-facing problem family.
+
+    ``wf`` everywhere is the tuple of NZ state tiles followed by NU control
+    tiles (solver units); ``lam_read(j)`` / ``ds_read(i)`` read multiplier
+    and arc-step tiles (``i`` may be traced or static); ``kv`` is the stage
+    curvature tile.
+    """
+
+    NZ: int
+    NU: int
+    NC: int
+    H: int
+    al_cost: Callable  # (n, wf, lam_read, mu, kv, ds_read) -> cost tile
+    dyn: Callable  # (n, wf, kv, ds_read) -> tuple of NZ next-state tiles
+    u_box: Callable  # (n, j) -> (lo, hi) clamp bounds, solver units
+
+
+def _obstacle_rows(track_data, on):
+    """Static python-float obstacle rows (s, ey, r) — unrolled in-kernel."""
+    if not on:
+        return []
+    obs = np.asarray(track_data.obstacles)
+    return [(float(o[2]), float(o[3]), float(o[4])) for o in obs]
+
+
+def _obstacles_std(rows, s, ey, dsn, w_obs):
+    """problems._obstacle_barrier with build-time-unrolled discs."""
+    acc = jnp.zeros_like(s)
+    for so, eo, ro in rows:
+        dist = jnp.sqrt((s - so) ** 2 + (ey - eo) ** 2)
+        den = jnp.maximum(dist - (ro + 0.1), OBSTACLE_EPS)
+        acc += w_obs * dsn / den
+    return acc
+
+
+def _obstacles_kc(rows, s, ey, dsn, nf):
+    """problems._obstacle_barrier_kc; ``nf`` is the stage index as float."""
+    acc = jnp.zeros_like(s)
+    for so, eo, ro in rows:
+        dist = jnp.sqrt((s - so) ** 2 + (ey - eo) ** 2)
+        den = jnp.maximum(jnp.abs(dist - ro), OBSTACLE_EPS)
+        acc += dsn / ((nf + 1.0) * den)
+    return acc
+
+
+def _clamped(x, clamps):
+    x = list(x)
+    for i, (lo, hi) in clamps.items():
+        x[i] = jnp.clip(x[i], lo, hi)
+    return x
+
+
+def _spatialize(xdot, sdot_idx, floor, beta):
+    """problems._regularized_spatial division: softplus-floored 1/s_dot."""
+    s_dot = xdot[sdot_idx]
+    s_dot_eff = floor + jnp.logaddexp(0.0, beta * (s_dot - floor)) / beta
+    inv = 1.0 / s_dot_eff
+    return [
+        jnp.ones_like(s_dot) if j == sdot_idx else xdot[j] * inv
+        for j in range(len(xdot))
+    ]
+
+
+def _pm_prime(x5, Fx, Fy, k, p):
+    """Point-mass regularized spatial ODE fields (models.point_mass +
+    problems clamps (V>=0.5, |ey|<=8, |epsi|<=1.3), floor 0.3, beta 10)."""
+    x5 = _clamped(x5, {0: (0.5, 1e3), 2: (-8.0, 8.0), 3: (-1.3, 1.3)})
+    V, s, ey, epsi, t = x5
+    Fd = p.Frr + p.Cd * V**2
+    V_dot = (Fx - Fd) / p.m
+    s_dot = (V * jnp.cos(epsi)) / (1.0 - k * ey)
+    ey_dot = V * jnp.sin(epsi)
+    epsi_dot = Fy / (p.m * jnp.where(jnp.abs(V) > 1e-3, V, 1e-3)) - k * s_dot
+    xdot = [V_dot, s_dot, ey_dot, epsi_dot, jnp.ones_like(V)]
+    return _spatialize(xdot, 1, 0.3, 10.0)
+
+
+def _kc_prime(x6, a, w, k, l, floor, beta, clamps):
+    """Kinematic-bicycle regularized spatial ODE fields (models.kinematic_car
+    + problems clamps; floor/beta differ between the kc tail and the pure
+    kinematic family)."""
+    x6 = _clamped(x6, clamps)
+    v, delta, s, ey, epsi, t = x6
+    s_dot = (v * jnp.cos(epsi)) / (1.0 - ey * k)
+    ey_dot = v * jnp.sin(epsi)
+    epsi_dot = v * tan(delta) / l - s_dot * k
+    xdot = [a, w, s_dot, ey_dot, epsi_dot, jnp.ones_like(v)]
+    return _spatialize(xdot, 2, floor, beta)
+
+
+def _euler_fields(x, prime, h):
+    return [a + h * b for a, b in zip(x, prime)]
+
+
+def build_cascaded_family(car_config, cfg, tail, track_data) -> FMFamily:
+    """Field-major twin of problems.build_cascaded_problem.
+
+    ``tail``: "none", "pm", or "kc".  Obstacles honored via
+    ``cfg["obstacles"]`` with the track's static disc table.
+    """
+    from vehicle_control_tpu.controllers.mpc.problems import _floatify
+
+    p = _floatify(dc.DynamicCarParams.from_config(car_config))
+    N = int(cfg["horizon"])
+    if tail == "pm":
+        M = int(cfg["horizon_pm"])
+    elif tail == "kc":
+        M = int(cfg["horizon_kc"])
+    else:
+        M = 0
+    if M == 0:
+        tail = "none"
+    H = N + M
+    NZ, NU, NC = 10, 2, 10
+    w = {k: float(v) for k, v in cfg["cost_weights"].items()}
+    ci = {k: float(v) for k, v in cfg["input_constraints"].items()}
+    cs = {k: float(v) for k, v in cfg["state_constraints"].items()}
+    obstacles_on = bool(cfg.get("obstacles", False))
+    obs_rows = _obstacle_rows(track_data, obstacles_on)
+    fs = 1.0 / FORCE_SCALE
+    if tail == "pm":
+        ct = {k: float(v) for k, v in cfg["state_pm_constraints"].items()}
+    elif tail == "kc":
+        ct = {k: float(v) for k, v in cfg["state_kc_constraints"].items()}
+        kc_l = float(car_config["car"]["l"])
+        _K = int(cfg["horizon_kc"])
+    else:
+        ct = None
+
+    def u1_scale(n):
+        if tail == "pm":
+            return jnp.where(n < N, 1.0, FORCE_SCALE)
+        return 1.0
+
+    def split(n, wf):
+        """Physical-unit controls + previous controls from the padded state."""
+        z, u = wf[:NZ], wf[NZ:]
+        nprev = jnp.maximum(n - 1, 0)
+        Fx = u[0] * FORCE_SCALE
+        u1 = u[1] * u1_scale(n)
+        Fx_prev = z[8] * FORCE_SCALE
+        u1_prev = z[9] * u1_scale(nprev)
+        return z, Fx, u1, Fx_prev, u1_prev
+
+    # -- cost ----------------------------------------------------------------
+
+    def term_cost(z):
+        if tail == "pm":
+            speed, ey, epsi, t = z[0], z[2], z[3], z[4]
+        elif tail == "kc":
+            speed, ey, epsi, t = z[0], z[3], z[4], z[5]
+        else:
+            speed, ey, epsi, t = z[0], z[5], z[6], z[7]
+        over = jnp.where(
+            speed >= cs["max_speed"], (speed - cs["max_speed"]) ** 2, 0.0
+        )
+        return (
+            w["speed"] * over
+            + w["time"] * t
+            + w["ey"] * ey**2
+            + w["epsi"] * epsi**2
+        )
+
+    def stage_cost(n, wf, kv, ds_read):
+        z, Fx, u1, Fx_prev, u1_prev = split(n, wf)
+        x = z[:8]
+        dsn = ds_read(n)
+        ds_prev = ds_read(jnp.maximum(n - 1, 0))
+        # single-track branch (problems.st_cost)
+        c_st = fm.st_running_cost_fields(
+            n, x, Fx, u1, Fx_prev, dsn, ds_prev, p, w, cs, N
+        )
+        if obstacles_on:
+            if tail == "kc":
+                c_st += _obstacles_kc(obs_rows, x[4], x[5], dsn, n.astype(jnp.float32))
+            else:
+                c_st += _obstacles_std(obs_rows, x[4], x[5], dsn, w["obstacles"])
+        cost = (n < N) * c_st
+        if tail == "pm":
+            ey = z[2]
+            c_pm = fm.boundary_fields(ey, dsn, w["boundary"], ct["ey_min"], ct["ey_max"])
+            c_pm += w["deviation_pm"] * dsn * ey**2
+            slew = (w["Fx"] / ds_prev) * (Fx - Fx_prev) ** 2
+            slew += (w["Fy"] / ds_prev) * (u1 - u1_prev) ** 2
+            c_pm += (n >= N + 1) * slew
+            if obstacles_on:
+                c_pm += _obstacles_std(obs_rows, z[1], ey, dsn, w["obstacles"])
+            cost += (n >= N) * c_pm
+            c_sw = (w["switch_F"] / ds_read(N - 1)) * (
+                (Fx - Fx_prev) ** 2 + (u1 - z[5]) ** 2
+            )
+            cost += (n == N) * c_sw
+        elif tail == "kc":
+            ey = z[3]
+            c_kc = fm.boundary_fields(ey, dsn, w["boundary"], ct["ey_min"], ct["ey_max"])
+            c_kc += w["deviation_kc"] * dsn * ey**2
+            c_kc += w["w_kc"] * u1**2
+            slew_on = (n >= N + 1) & (n - 1 < _K - 1)
+            c_kc += slew_on * w["a"] * (Fx - Fx_prev) ** 2
+            if obstacles_on:
+                c_kc += _obstacles_kc(obs_rows, z[2], ey, dsn, n.astype(jnp.float32))
+            cost += (n >= N) * c_kc
+            c_sw = (w["Fy"] / ds_read(min(N, H - 1))) * (
+                (z[6] - Fx) ** 2 + (z[7] - u1) ** 2
+            )
+            cost += (n == N) * c_sw
+        cost += (n == H - 1) * term_cost(z)
+        return cost
+
+    # -- constraints + AL penalty -------------------------------------------
+
+    def constraints(n, wf):
+        z, Fx, u1, _, _ = split(n, wf)
+        c_st = fm.constraint_fields(z[:8], Fx, u1, p, ci, cs)
+        if tail == "none":
+            return c_st
+        neg1 = jnp.full_like(z[0], -1.0)
+        if tail == "pm":
+            V = z[0]
+            c_tail = [
+                ct["V_min"] - V,
+                (Fx - p.Peng / jnp.maximum(V, 1.0)) * fs,
+            ] + [neg1] * 8
+        else:  # kc
+            v, delta = z[0], z[1]
+            c_tail = [
+                ct["v_min"] - v,
+                delta - ct["delta_max"],
+                ct["delta_min"] - delta,
+                Fx - ci["a_max"],
+                ci["a_min"] - Fx,
+                u1 - ci["w_max"],
+                ci["w_min"] - u1,
+            ] + [neg1] * 3
+        m = n < N
+        return [jnp.where(m, a, b) for a, b in zip(c_st, c_tail)]
+
+    def al_cost(n, wf, lam_read, mu, kv, ds_read):
+        c = stage_cost(n, wf, kv, ds_read)
+        return c + fm.al_penalty_fields(constraints(n, wf), lam_read, mu)
+
+    # -- dynamics -------------------------------------------------------------
+
+    def dyn(n, wf, kv, ds_read):
+        z, Fx, u1, Fx_prev, u1_prev = split(n, wf)
+        x = z[:8]
+        dsn = ds_read(n)
+        st_next = fm.rk4_step(x, Fx, u1, kv, dsn, p)
+        if tail == "none":
+            next8 = st_next
+        else:
+            Ux, Uy, r, delta, s, ey, epsi, t = x
+            V = jnp.sqrt(Ux**2 + Uy**2)
+            beta = arctan(safe_div(Uy, Ux))
+            zero = jnp.zeros_like(V)
+            if tail == "pm":
+                fy_tot = dc.Fy_f(Ux, Uy, r, delta, Fx, p) + dc.Fy_r(
+                    Ux, Uy, r, delta, Fx, p
+                )
+                seam = [V, s, ey, beta + epsi, t, fy_tot, zero, zero]
+                tail5 = _euler_fields(
+                    z[:5], _pm_prime(z[:5], Fx, u1, kv, p), dsn
+                )
+                tail8 = tail5 + [zero, zero, zero]
+            else:  # kc
+                xdot = fm.temporal_fields(x, Fx_prev, u1_prev, 0.0, p)
+                a_final = jnp.sqrt(xdot[0] ** 2 + xdot[1] ** 2)
+                seam = [V, delta, s, ey, beta + epsi, t, a_final, u1_prev + zero]
+                clamps = {0: (0.5, 1e3), 1: (-1.0, 1.0), 3: (-8.0, 8.0), 4: (-1.2, 1.2)}
+                tail6 = _euler_fields(
+                    z[:6], _kc_prime(z[:6], Fx, u1, kv, kc_l, 0.3, 10.0, clamps), dsn
+                )
+                tail8 = tail6 + [zero, zero]
+            m_st = n < N - 1
+            m_seam = n == N - 1
+            next8 = [
+                jnp.where(m_st, a, jnp.where(m_seam, b, c))
+                for a, b, c in zip(st_next, seam, tail8)
+            ]
+        return tuple(next8) + (wf[NZ], wf[NZ + 1])
+
+    # -- rollout clamp boxes (problems.build_cascaded_problem boxes) ----------
+
+    def u_box(n, j):
+        if j == 0:
+            if tail == "kc":
+                lo = jnp.where(n < N, -30.0, ci["a_min"] * fs)
+                hi = jnp.where(n < N, 60.0, ci["a_max"] * fs)
+                return lo, hi
+            return -30.0, 60.0
+        if tail == "pm":
+            lo = jnp.where(n < N, ci["w_min"], -25.0)
+            hi = jnp.where(n < N, ci["w_max"], 25.0)
+            return lo, hi
+        return ci["w_min"], ci["w_max"]
+
+    return FMFamily(NZ, NU, NC, H, al_cost, dyn, u_box)
+
+
+def build_kinematic_family(car_config, cfg, track_data) -> FMFamily:
+    """Field-major twin of problems.build_kinematic_problem."""
+    from vehicle_control_tpu.models import kinematic_car as kc
+
+    kp = kc.KinematicCarParams.from_config(car_config)
+    l = float(kp.l)
+    N = int(cfg["horizon"])
+    H = N + 1
+    NZ, NU, NC = 8, 2, 10
+    w = {k: float(v) for k, v in cfg["cost_weights"].items()}
+    ci = {k: float(v) for k, v in cfg["input_constraints"].items()}
+    cs = {k: float(v) for k, v in cfg["state_constraints"].items()}
+    obstacles_on = bool(cfg.get("obstacles", False))
+    obs_rows = _obstacle_rows(track_data, obstacles_on)
+    clamps = {1: (-1.0, 1.0), 3: (-8.0, 8.0), 4: (-1.2, 1.2)}
+
+    def stage_cost(n, wf, kv, ds_read):
+        z, u = wf[:NZ], wf[NZ:]
+        v, delta, s, ey, epsi, t = z[:6]
+        a_act, w_act = u
+        dsn = ds_read(n)
+        cost = fm.boundary_fields(ey, dsn, w["boundary"], cs["ey_min"], cs["ey_max"])
+        cost += w["deviation"] * dsn * ey**2
+        cost += w["w"] * w_act**2
+        cost += ((n >= 1) & (n < N)) * w["a"] * (a_act - z[6]) ** 2
+        if obstacles_on:
+            cost += _obstacles_std(obs_rows, s, ey, dsn, w["obstacles"])
+        cost = jnp.where(n < N, cost, 0.0)
+        over = jnp.where(v >= cs["v_max"], (v - cs["v_max"]) ** 2, 0.0)
+        term = w["v"] * over + w["time"] * t + w["ey"] * ey**2 + w["epsi"] * epsi**2
+        return cost + (n == N) * term
+
+    def constraints(n, wf):
+        z, u = wf[:NZ], wf[NZ:]
+        v, delta = z[0], z[1]
+        neg1 = jnp.full_like(v, -1.0)
+        c = [
+            cs["v_min"] - v,
+            delta - cs["delta_max"],
+            cs["delta_min"] - delta,
+            u[0] - ci["a_max"],
+            ci["a_min"] - u[0],
+            u[1] - ci["w_max"],
+            ci["w_min"] - u[1],
+        ] + [neg1] * 3
+        m = n < N
+        return [jnp.where(m, ci_, -jnp.ones_like(v)) for ci_ in c]
+
+    def al_cost(n, wf, lam_read, mu, kv, ds_read):
+        c = stage_cost(n, wf, kv, ds_read)
+        return c + fm.al_penalty_fields(constraints(n, wf), lam_read, mu)
+
+    def dyn(n, wf, kv, ds_read):
+        z, u = wf[:NZ], wf[NZ:]
+        x6 = z[:6]
+        nxt = _euler_fields(
+            x6, _kc_prime(x6, u[0], u[1], kv, l, 0.02, 50.0, clamps), ds_read(n)
+        )
+        m = n < N
+        next6 = [jnp.where(m, a, b) for a, b in zip(nxt, x6)]
+        return tuple(next6) + (u[0], u[1])
+
+    def u_box(n, j):
+        if j == 0:
+            return ci["a_min"], ci["a_max"]
+        return ci["w_min"], ci["w_max"]
+
+    return FMFamily(NZ, NU, NC, H, al_cost, dyn, u_box)

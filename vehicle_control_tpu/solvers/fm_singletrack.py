@@ -22,11 +22,9 @@ CLAMPS = {0: (1.0, 1e3), 3: (-1.0, 1.0), 5: (-8.0, 8.0), 6: (-1.3, 1.3)}
 FLOOR, BETA = 0.3, 10.0
 
 
-def spatial_prime(x, Fx, wact, k, p):
-    """x: 8 field tiles -> d(state)/ds field list (single-track stage)."""
-    x = list(x)
-    for i, (lo, hi) in CLAMPS.items():
-        x[i] = jnp.clip(x[i], lo, hi)
+def temporal_fields(x, Fx, wact, k, p):
+    """Field-tile single-track temporal ODE (models.dynamic_car.temporal_ode);
+    returns the 8 d(state)/dt tiles, unclamped and undivided."""
     Ux, Uy, r, delta, s, ey, epsi, t = x
     fxf = dc.Fx_f(Fx, p)
     fxr = dc.Fx_r(Fx, p)
@@ -41,16 +39,27 @@ def spatial_prime(x, Fx, wact, k, p):
     s_dot = (Ux * jnp.cos(epsi) - Uy * jnp.sin(epsi)) / (1.0 - k * ey)
     ey_dot = Ux * jnp.sin(epsi) + Uy * jnp.cos(epsi)
     epsi_dot = r - k * s_dot
+    return [Ux_dot, Uy_dot, r_dot, wact, s_dot, ey_dot, epsi_dot,
+            jnp.ones_like(s_dot)]
+
+
+def spatial_prime(x, Fx, wact, k, p):
+    """x: 8 field tiles -> d(state)/ds field list (single-track stage)."""
+    x = list(x)
+    for i, (lo, hi) in CLAMPS.items():
+        x[i] = jnp.clip(x[i], lo, hi)
+    xdot = temporal_fields(x, Fx, wact, k, p)
+    s_dot = xdot[4]
     s_dot_eff = FLOOR + jnp.logaddexp(0.0, BETA * (s_dot - FLOOR)) / BETA
     inv = 1.0 / s_dot_eff
     return [
-        Ux_dot * inv,
-        Uy_dot * inv,
-        r_dot * inv,
-        wact * inv,
+        xdot[0] * inv,
+        xdot[1] * inv,
+        xdot[2] * inv,
+        xdot[3] * inv,
         jnp.ones_like(s_dot),
-        ey_dot * inv,
-        epsi_dot * inv,
+        xdot[5] * inv,
+        xdot[6] * inv,
         inv,
     ]
 
@@ -66,24 +75,44 @@ def rk4_step(x, Fx, wact, k, h, p):
     ]
 
 
-def stage_cost_fields(n, x, Fx, wact, Fx_prev, dsn, ds_prev, p, w, cs, N, H):
-    """Single-track stage cost incl. folded terminal (problems.st_cost)."""
-    Ux, Uy, r, delta, s, ey, epsi, t = x
-    below = jnp.where(ey < cs["ey_min"], (ey - cs["ey_min"]) ** 2, 0.0)
-    above = jnp.where(ey > cs["ey_max"], (ey - cs["ey_max"]) ** 2, 0.0)
-    cost = w["boundary"] * dsn * (below + above)
-    cost += w["deviation_st"] * dsn * ey**2
-    cost += w["w"] * wact**2
+def boundary_fields(ey, dsn, wb, lo, hi):
+    """Soft road-bound penalty tile (problems._boundary)."""
+    below = jnp.where(ey < lo, (ey - lo) ** 2, 0.0)
+    above = jnp.where(ey > hi, (ey - hi) ** 2, 0.0)
+    return wb * dsn * (below + above)
+
+
+def slip_penalty_fields(x, Fx, p, w_slip):
+    """Soft slip-angle penalty tile (problems._slip_penalty)."""
+    Ux, Uy, r, delta = x[0], x[1], x[2], x[3]
     ta_f = jnp.abs(tan(dc.alpha_f(Ux, Uy, r, delta, p)))
     tam_f = tan(dc.alphamod_f(Fx, Ux, p))
     ta_r = jnp.abs(tan(dc.alpha_r(Ux, Uy, r, delta, p)))
     tam_r = tan(dc.alphamod_r(Fx, Ux, p))
-    cost += w["slip"] * (
+    return w_slip * (
         jnp.where(ta_f >= tam_f, (ta_f - tam_f) ** 2, 0.0)
         + jnp.where(ta_r >= tam_r, (ta_r - tam_r) ** 2, 0.0)
     )
+
+
+def st_running_cost_fields(n, x, Fx, wact, Fx_prev, dsn, ds_prev, p, w, cs, N):
+    """Single-track running cost, no terminal (problems.st_cost sans obstacles)."""
+    ey = x[5]
+    cost = boundary_fields(ey, dsn, w["boundary"], cs["ey_min"], cs["ey_max"])
+    cost += w["deviation_st"] * dsn * ey**2
+    cost += w["w"] * wact**2
+    cost += slip_penalty_fields(x, Fx, p, w["slip"])
     slew_on = (n >= 1) & (n < N)
     cost += slew_on * (w["Fx"] / ds_prev) * (Fx - Fx_prev) ** 2
+    return cost
+
+
+def stage_cost_fields(n, x, Fx, wact, Fx_prev, dsn, ds_prev, p, w, cs, N, H):
+    """Single-track stage cost incl. folded terminal (problems.st_cost)."""
+    Ux, ey, epsi, t = x[0], x[5], x[6], x[7]
+    cost = st_running_cost_fields(
+        n, x, Fx, wact, Fx_prev, dsn, ds_prev, p, w, cs, N
+    )
     over = jnp.where(Ux >= cs["max_speed"], (Ux - cs["max_speed"]) ** 2, 0.0)
     term = w["speed"] * over + w["time"] * t + w["ey"] * ey**2 + w["epsi"] * epsi**2
     return cost + (n == H - 1) * term

@@ -61,11 +61,18 @@ def arctan(x):
     x = jnp.asarray(x)
     ax = jnp.abs(x)
     inv = ax > 1.0
-    z = jnp.where(inv, 1.0 / jnp.maximum(ax, 1e-30), ax)
+    s = jnp.where(x >= 0, 1.0, -1.0)
+    # Odd form (z carries the sign) so grad(arctan)(0) == 1, not sign(0)*...
+    # == 0.  The inversion-branch guard must keep 1/guard**2 finite in f32:
+    # the *unselected* branch still back-propagates a -1/ax**2 cotangent, and
+    # a 1e-30 floor overflows it to inf at ax ~ 0, poisoning the gradient at
+    # the origin with 0*inf = NaN (hit at every standstill/straight-line
+    # state via the slip angles).  1e-6 never binds when the branch is
+    # selected (ax > 1).
+    z = jnp.where(inv, s / jnp.maximum(ax, 1e-6), x)
     z2 = z * z
     acc = jnp.full_like(z, _ATAN_COEF[-1])
     for c in _ATAN_COEF[-2::-1]:
         acc = acc * z2 + c
     r = z * acc
-    r = jnp.where(inv, jnp.pi / 2 - r, r)
-    return jnp.sign(x) * r
+    return jnp.where(inv, s * (jnp.pi / 2) - r, r)
