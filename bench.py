@@ -140,11 +140,17 @@ def main():
     use_kernels = bool(
         int(os.environ.get("BENCH_KERNEL", "1" if platform == "tpu" else "0"))
     ) and mode != "latency"
+    # whole-solve fused kernel (one launch per MPC step) — the round-2 default
+    # TPU hot path; BENCH_SOLVE_KERNEL=0 falls back to the per-phase kernels
+    use_solve_kernel = use_kernels and bool(
+        int(os.environ.get("BENCH_SOLVE_KERNEL", "1"))
+    )
     solver_cfg = ALILQRConfig(
         n_outer=solver["n_outer"],
         n_inner=solver["n_inner"],
-        use_ls_kernel=use_kernels,
-        use_backward_kernel=use_kernels,  # fused derivs+Riccati kernel
+        use_solve_kernel=use_solve_kernel,
+        use_ls_kernel=use_kernels and not use_solve_kernel,
+        use_backward_kernel=use_kernels and not use_solve_kernel,
         # latency mode: associative-scan Riccati cuts the backward sweep's
         # serial depth from O(H) to O(log H) (BENCH_PAR_RICCATI=0 disables)
         use_parallel_riccati=(

@@ -1,0 +1,119 @@
+"""Regenerate the reference's golden experiment run matrix with OUR engine.
+
+The reference ships ~20 recorded runs under experiments/data (race1-7,
+cascaded*/singletrack* variants, obstacles, slip-angle, shoe-track) whose
+config snapshots differ per run (horizon_pm 15/35, slip weights, tracks).
+This script replays each run's exact controller config snapshot through our
+RacingSimulator and writes the same .npy artifact layout under our
+experiments/data/<run>_<track>, making every future round regression-
+checkable against both the reference AND our own committed runs.
+
+Run (CPU f64, ~1 min per lap):  python scripts/make_run_matrix.py [filter]
+An optional substring filter selects a subset of runs.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np
+import yaml
+
+from vehicle_control_tpu.simulation import RacingSimulator
+from vehicle_control_tpu.utils.config import ConfigDict, load_config, project_root
+
+REF_DATA = "/root/reference/experiments/data"
+
+# The regenerated matrix: every distinct (config-snapshot, track) the
+# reference recorded.  raceN_* dirs contain both controllers racing together;
+# cascadedN/singletrackN dirs are single-controller runs with the same
+# snapshots, so regenerating the race* + variant dirs covers every snapshot.
+RUNS = [
+    # (run dir name, track, controllers, obstacles)
+    ("race1_ippodromo", "ippodromo", ["cascaded", "singletrack"], False),
+    ("race2_ippodromo", "ippodromo", ["cascaded", "singletrack"], False),
+    ("race3_ippodromo", "ippodromo", ["cascaded", "singletrack"], False),
+    ("race4_ippodromo", "ippodromo", ["cascaded", "singletrack"], False),
+    ("race5_ippodromo", "ippodromo", ["cascaded", "singletrack"], False),
+    ("race6_ippodromo", "ippodromo", ["cascaded", "singletrack"], False),
+    ("race7_ippodromo", "ippodromo", ["cascaded", "singletrack"], False),
+    ("race1_shoe", "shoe", ["cascaded", "singletrack"], False),
+    ("race2_shoe", "shoe", ["cascaded", "singletrack"], False),
+    ("race_obstacles_shoe", "shoe", ["cascaded", "singletrack"], True),
+    ("cascaded_obstacles1_ippodromo", "ippodromo", ["cascaded"], True),
+    ("cascaded_obstacles2_ippodromo", "ippodromo", ["cascaded"], True),
+    ("cascaded_slip_angle_ippodromo", "ippodromo", ["cascaded"], False),
+    ("cascaded_slip_angle2_ippodromo", "ippodromo", ["cascaded"], False),
+    ("singletrack_slip_angle_ippodromo", "ippodromo", ["singletrack"], False),
+    ("singletrack_slip_angle2_ippodromo", "ippodromo", ["singletrack"], False),
+]
+
+
+def ref_config(run, controller):
+    path = os.path.join(REF_DATA, run, f"{controller}_config.yaml")
+    with open(path) as fh:
+        return ConfigDict(yaml.safe_load(fh))
+
+
+def regenerate(run, track_name, controllers, obstacles, max_steps=2500):
+    overrides = {}
+    for c in controllers:
+        cfg = ref_config(run, c)
+        cfg.pop("color", None)
+        overrides[c] = dict(cfg)
+    simconfig = ConfigDict(
+        {
+            "controller_names": controllers,
+            "obstacles": obstacles,
+            "name": run.rsplit("_", 1)[0]
+            if run.endswith(("_ippodromo", "_shoe"))
+            else run,
+            "save_data": True,
+            "logging": True,
+            "controller_overrides": overrides,
+        }
+    )
+    carconfig = load_config(
+        os.path.join(project_root(), "configs/models/dynamic_car.yaml")
+    )
+    trackconfig = load_config(
+        os.path.join(project_root(), f"configs/environment/{track_name}.yaml")
+    )
+    sim = RacingSimulator(simconfig, carconfig, trackconfig)
+    sim.run(max_steps=max_steps)
+    sim.save()
+    for c in controllers:
+        st = sim.state_traj[c]
+        ref_st = np.load(os.path.join(REF_DATA, run, f"{c}_state_traj.npy"))
+        lap = st[-1, 7] + sim.dt
+        ref_lap = ref_st[-1, 7] + 0.05
+        viol = float(sim.violation_traj[c].max())
+        print(
+            f"  {run}/{c}: lap {lap:.2f} s (ref {ref_lap:.2f}), "
+            f"max violation {viol:.2e}"
+        )
+    return sim
+
+
+def main():
+    filt = sys.argv[1] if len(sys.argv) > 1 else ""
+    for run, track, controllers, obstacles in RUNS:
+        if filt and filt not in run:
+            continue
+        print(f"== {run}")
+        try:
+            regenerate(run, track, controllers, obstacles)
+        except Exception as e:  # keep the matrix going; report at the end
+            print(f"  FAILED: {e!r}")
+
+
+if __name__ == "__main__":
+    main()

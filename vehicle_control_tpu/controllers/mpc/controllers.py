@@ -65,6 +65,7 @@ def make_mpc_step(problem: problems.MPCProblem, solver_cfg: ALILQRConfig):
         solver_cfg.use_ls_kernel
         or solver_cfg.use_derivs_kernel
         or solver_cfg.use_backward_kernel
+        or solver_cfg.use_solve_kernel
     )
     if any_kernel and problem.u_scale.dtype != jnp.float32:
         import warnings
@@ -92,6 +93,9 @@ def make_mpc_step(problem: problems.MPCProblem, solver_cfg: ALILQRConfig):
         and problem.backward_kernel_factory is not None
     ):
         backward_kernel = problem.backward_kernel_factory()
+    solve_kernel = None
+    if solver_cfg.use_solve_kernel and problem.solve_kernel_factory is not None:
+        solve_kernel = problem.solve_kernel_factory(solver_cfg)
     solve = build_solver(
         problem.fns,
         problem.horizon,
@@ -101,6 +105,7 @@ def make_mpc_step(problem: problems.MPCProblem, solver_cfg: ALILQRConfig):
         ls_kernel=ls_kernel,
         derivs_kernel=derivs_kernel,
         backward_kernel=backward_kernel,
+        solve_kernel=solve_kernel,
     )
 
     def step(carry: MPCCarry, state):

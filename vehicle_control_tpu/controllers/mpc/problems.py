@@ -126,6 +126,7 @@ class MPCProblem(NamedTuple):
     linesearch_kernel_factory: object = None
     derivs_kernel_factory: object = None
     backward_kernel_factory: object = None
+    solve_kernel_factory: object = None  # (ALILQRConfig,) -> whole-solve kernel
     # (state0,) -> (X_pred, U_pred): physics-informed cold-start prediction
     # for a scenario dropped mid-track (curvature feed-forward); see
     # parallel.aligned_carry.  The plain initial_prediction (the reference's
@@ -261,7 +262,23 @@ def _make_kernel_factories(family_fn):
         interp = jax.default_backend() != "tpu"
         return lambda *a: run(*a, interpret=interp)
 
-    return linesearch_kernel_factory, derivs_kernel_factory, backward_kernel_factory
+    def solve_kernel_factory(solver_cfg):
+        import jax
+
+        from vehicle_control_tpu.solvers.solve_kernel_fm import (
+            build_solve_kernel_fm,
+        )
+
+        run = build_solve_kernel_fm(family_fn(), solver_cfg)
+        interp = jax.default_backend() != "tpu"
+        return lambda *a: run(*a, interpret=interp)
+
+    return (
+        linesearch_kernel_factory,
+        derivs_kernel_factory,
+        backward_kernel_factory,
+        solve_kernel_factory,
+    )
 
 
 def build_cascaded_problem(
@@ -630,16 +647,19 @@ def build_cascaded_problem(
 
         return build_cascaded_family(car_config, cfg, tail, track_data)
 
-    linesearch_kernel_factory, derivs_kernel_factory, backward_kernel_factory = (
-        _make_kernel_factories(_family)
-    )
+    (
+        linesearch_kernel_factory,
+        derivs_kernel_factory,
+        backward_kernel_factory,
+        solve_kernel_factory,
+    ) = _make_kernel_factories(_family)
 
     fns = OCPFunctions(dynamics, stage_cost, constraints)
     return MPCProblem(
         fns, H, nz, nu, nc, u_scale, init_horizon, initial_prediction, 8,
         jnp.asarray(lo, dtype), jnp.asarray(hi, dtype),
         linesearch_kernel_factory, derivs_kernel_factory,
-        backward_kernel_factory, warm_start,
+        backward_kernel_factory, solve_kernel_factory, warm_start,
     )
 
 
@@ -759,10 +779,10 @@ def build_kinematic_problem(
 
         return build_kinematic_family(car_config, cfg, track_data)
 
-    ls_f, derivs_f, backward_f = _make_kernel_factories(_family)
+    ls_f, derivs_f, backward_f, solve_f = _make_kernel_factories(_family)
     fns = OCPFunctions(dynamics, stage_cost, constraints)
     return MPCProblem(
         fns, H, nz, nu, nc, u_scale, init_horizon, initial_prediction, 6,
         jnp.asarray(lo, dtype), jnp.asarray(hi, dtype),
-        ls_f, derivs_f, backward_f, warm_start,
+        ls_f, derivs_f, backward_f, solve_f, warm_start,
     )

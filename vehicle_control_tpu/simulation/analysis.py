@@ -44,11 +44,23 @@ class ParityReport(NamedTuple):
     median_abs_dev: np.ndarray  # (na,)
     correlation: np.ndarray  # (na,)
 
+    @property
+    def median_normalized_dev(self):
+        """The north-star metric (BASELINE.json): per-channel control
+        deviation normalized by the reference signal's RMS magnitude —
+        the '<=1e-3 control-sequence deviation over a full lap' scale."""
+        return self.median_abs_dev / np.maximum(self.rms_ref, 1e-12)
+
+    @property
+    def rms_normalized_dev(self):
+        return self.rms_dev / np.maximum(self.rms_ref, 1e-12)
+
     def __str__(self):  # pragma: no cover
         lines = [f"parity over {self.n_steps} steps:"]
         for i in range(len(self.rms_dev)):
             lines.append(
-                f"  u[{i}]: median|dev| {self.median_abs_dev[i]:.4g}, "
+                f"  u[{i}]: median|dev| {self.median_abs_dev[i]:.4g} "
+                f"(normalized {self.median_normalized_dev[i]:.2e}), "
                 f"RMS dev {self.rms_dev[i]:.4g} (signal {self.rms_ref[i]:.4g}), "
                 f"corr {self.correlation[i]:.4f}"
             )

@@ -224,9 +224,17 @@ class RacingSimulator:
         print(text)
         return text
 
-    def save_animation(self, **kwargs):
+    def save_animation(self, combined: bool = True, **kwargs):
         """Render replay GIFs from the finished run
-        (reference: simulator.py:48-63, decoupled from the loop)."""
+        (reference: simulator.py:48-63, decoupled from the loop).
+
+        ``combined=True`` renders all controllers as ghost cars on one track
+        (the reference's live multi-controller view, racing.py:108-215);
+        otherwise one GIF per controller."""
+        if combined and len(self.state_traj) > 1:
+            from vehicle_control_tpu.simulation.render import render_combined_gif
+
+            return [render_combined_gif(self, **kwargs)]
         from vehicle_control_tpu.simulation.render import render_racing_gif
 
         return render_racing_gif(self, **kwargs)

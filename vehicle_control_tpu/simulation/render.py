@@ -113,6 +113,48 @@ def render_racing_gif(sim, path=None, stride=4, fps=20, max_frames=250):
     return outputs
 
 
+def render_combined_gif(
+    sim, path=None, stride=4, fps=20, max_frames=300, colors=None
+):
+    """All controllers racing on one track simultaneously — the reference's
+    signature ghost-car animation (racing.py:108-215, 230-241).  Cars advance
+    in lock-step simulation time (dt is shared); a car that finishes its lap
+    freezes at its final state while the others continue."""
+    from vehicle_control_tpu.environment import track as track_mod
+
+    names = list(sim.state_traj)
+    palette = colors or ["#007CFF", "#E16917", "#9932CC", "#2E8B57"]
+    T = max(len(sim.state_traj[n]) for n in names)
+    frames = list(range(0, T, stride))[:max_frames]
+    fig, ax = plt.subplots(figsize=(9, 6))
+
+    def update(i):
+        ax.clear()
+        plot_track(sim.track, ax=ax)
+        step = frames[i]
+        for ci, name in enumerate(names):
+            st_all = sim.state_traj[name]
+            st = st_all[min(step, len(st_all) - 1)]
+            s_i, ey_i = sim.s_index, sim.ey_index
+            epsi_i = {4: 6, 2: 4}[s_i]
+            x, y, psi = track_mod.rel2glob(
+                sim.track.data, st[s_i], st[ey_i], st[epsi_i]
+            )
+            delta = st[3] if s_i == 4 else st[1]
+            color = palette[ci % len(palette)]
+            _draw_car(ax, float(x), float(y), float(psi), float(delta), color=color)
+            ax.plot([], [], color=color, lw=3, label=name)
+        ax.legend(loc="upper right")
+        ax.set_title(f"t = {frames[i] * sim.dt:.2f} s")
+
+    anim = FuncAnimation(fig, update, frames=len(frames))
+    out = path or os.path.join(sim.src_dir, "race_replay.gif")
+    os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+    anim.save(out, writer=PillowWriter(fps=fps))
+    plt.close(fig)
+    return out
+
+
 def plot_race_summary(sim, name, path=None):
     """Static summary figure: trajectory + speed/steer/force traces
     (the reference's live side plots, racing.py:322-414, post-hoc)."""

@@ -84,6 +84,9 @@ class ALILQRConfig:
     use_parallel_riccati: bool = False  # associative-scan Riccati: O(log H)
     # serial depth — the single-scenario latency path (SURVEY §2.3 SP axis);
     # the sequential sweep stays default for the batched throughput path
+    use_solve_kernel: bool = False  # ONE Pallas kernel for the entire solve
+    # (warm rollout + all AL/iLQR iterations + multiplier updates in VMEM);
+    # supersedes the per-phase kernels on the batched TPU throughput path
     unroll: int = 4  # lax.scan unroll for the per-stage sweeps: the stages
     # are tiny (10x10 blocks), so dispatch overhead dominates a rolled scan
     # on TPU; unrolling lets XLA fuse several stages per loop iteration
@@ -128,6 +131,7 @@ def build_solver(
     ls_kernel=None,
     derivs_kernel=None,
     backward_kernel=None,
+    solve_kernel=None,
 ):
     """Return ``solve(params, z0, U_init, lam_init) -> Solution``.
 
@@ -477,15 +481,7 @@ def build_solver(
 
     # -- full solve -------------------------------------------------------------
 
-    def solve(params, z0, U_init, lam_init=None):
-        nc_probe = jax.eval_shape(
-            lambda: fns.constraints(0, z0, U_init[0], params)
-        ).shape[0]
-        lam = (
-            lam_init
-            if lam_init is not None
-            else jnp.zeros((H, nc_probe), dtype=U_init.dtype)
-        )
+    def solve_core(params, z0, U_init, lam):
         mu0 = jnp.asarray(cfg.mu0, dtype=U_init.dtype)
 
         def outer_step_closed(carry, _):
@@ -532,5 +528,68 @@ def build_solver(
         if cfg.record_trace:
             return sol, jax.tree.map(lambda a: a.reshape((-1,) + a.shape[2:]), trace)
         return sol
+
+    # -- optional whole-solve Pallas kernel -----------------------------------
+    # ``solve_kernel(z0, U_init, lam, curv, ds) -> Solution fields`` runs the
+    # full AL-iLQR solve in one kernel launch; spliced under the scenario
+    # vmap exactly like the per-phase kernels (XLA path for unbatched use).
+    if solve_kernel is not None and cfg.use_solve_kernel:
+        assert not cfg.record_trace, "solve kernel has no trace output"
+        from jax import custom_batching
+
+        @custom_batching.custom_vmap
+        def solve_cv(params, z0, U_init, lam):
+            return solve_core(params, z0, U_init, lam)
+
+        @solve_cv.def_vmap
+        def _solve_rule(axis_size, in_batched, *args):
+            B = axis_size
+            args = jax.tree.map(
+                lambda a, b: a if b else jnp.broadcast_to(
+                    jnp.asarray(a), (B,) + jnp.shape(a)
+                ),
+                tuple(args),
+                tuple(in_batched),
+            )
+            params, z0, U_init, lam = args
+            pad = (-B) % 1024
+            if pad:
+                def padb(a):
+                    return jnp.concatenate(
+                        [a, jnp.broadcast_to(a[-1:], (pad,) + a.shape[1:])],
+                        axis=0,
+                    )
+
+                z0, U_init, lam = map(padb, (z0, U_init, lam))
+                params = jax.tree.map(padb, params)
+            X, U, lamf, cost, viol, conv, iters = solve_kernel(
+                z0, U_init, lam, params.curvature, params.ds
+            )
+            dt = U_init.dtype
+            sol = Solution(
+                X[:B].astype(dt),
+                U[:B].astype(dt),
+                lamf[:B].astype(dt),
+                cost[:B].astype(dt),
+                viol[:B].astype(dt),
+                conv[:B],
+                iters[:B],
+            )
+            return sol, Solution(*(True,) * 7)
+
+        solve_inner = solve_cv
+    else:
+        solve_inner = solve_core
+
+    def solve(params, z0, U_init, lam_init=None):
+        nc_probe = jax.eval_shape(
+            lambda: fns.constraints(0, z0, U_init[0], params)
+        ).shape[0]
+        lam = (
+            lam_init
+            if lam_init is not None
+            else jnp.zeros((H, nc_probe), dtype=U_init.dtype)
+        )
+        return solve_inner(params, z0, U_init, lam)
 
     return solve

@@ -49,6 +49,8 @@ class FMFamily(NamedTuple):
     al_cost: Callable  # (n, wf, lam_read, mu, kv, ds_read) -> cost tile
     dyn: Callable  # (n, wf, kv, ds_read) -> tuple of NZ next-state tiles
     u_box: Callable  # (n, j) -> (lo, hi) clamp bounds, solver units
+    stage_cost: Callable  # (n, wf, kv, ds_read) -> raw cost tile (no penalty)
+    constraints: Callable  # (n, wf) -> list of NC tiles (c <= 0 feasible)
 
 
 def _obstacle_rows(track_data, on):
@@ -330,7 +332,7 @@ def build_cascaded_family(car_config, cfg, tail, track_data) -> FMFamily:
             return lo, hi
         return ci["w_min"], ci["w_max"]
 
-    return FMFamily(NZ, NU, NC, H, al_cost, dyn, u_box)
+    return FMFamily(NZ, NU, NC, H, al_cost, dyn, u_box, stage_cost, constraints)
 
 
 def build_kinematic_family(car_config, cfg, track_data) -> FMFamily:
@@ -400,4 +402,4 @@ def build_kinematic_family(car_config, cfg, track_data) -> FMFamily:
             return ci["a_min"], ci["a_max"]
         return ci["w_min"], ci["w_max"]
 
-    return FMFamily(NZ, NU, NC, H, al_cost, dyn, u_box)
+    return FMFamily(NZ, NU, NC, H, al_cost, dyn, u_box, stage_cost, constraints)
