@@ -1,0 +1,25 @@
+#!/bin/bash
+# Full TPU bench matrix — run ONE at a time (tunnel serializes).
+# Writes one JSON line per config to BENCH_MATRIX.jsonl.
+set -u
+cd "$(dirname "$0")/.."
+out=BENCH_MATRIX.jsonl
+: > "$out"
+run() {
+  echo "== $* " >&2
+  env "$@" python bench.py 2>/dev/null | tail -1 | tee -a "$out"
+}
+# headline + solve-kernel ablation
+run BENCH_CONFIG=singletrack BENCH_SOLVE_KERNEL=1
+run BENCH_CONFIG=singletrack BENCH_SOLVE_KERNEL=0
+# flagship cascaded + variants (whole-solve kernel)
+run BENCH_CONFIG=cascaded BENCH_SOLVE_KERNEL=1 BENCH_BATCH=2048
+run BENCH_CONFIG=cascaded_obstacles BENCH_SOLVE_KERNEL=1 BENCH_BATCH=2048
+run BENCH_CONFIG=cascaded_kinematic BENCH_SOLVE_KERNEL=1 BENCH_BATCH=2048
+run BENCH_CONFIG=kinematic BENCH_SOLVE_KERNEL=1
+# latency mode (XLA path, parallel Riccati on/off)
+run BENCH_MODE=latency BENCH_PAR_RICCATI=1
+run BENCH_MODE=latency BENCH_PAR_RICCATI=0
+# bf16 finding (XLA path)
+run BENCH_DTYPE=bf16 BENCH_KERNEL=0 BENCH_BATCH=1024
+cat "$out"
