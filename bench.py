@@ -101,16 +101,30 @@ def build(config_name, N, dtype):
     return problem, temporal, track, solver, s_index, ns
 
 
-def initial_states(track, ns, B, rng):
+def initial_states(track, ns, B, rng, avoid_obstacles=False):
     states = np.zeros((B, ns), np.float64)
+    s_i, ey_i = (4, 5) if ns == 8 else (2, 3)
+    s = rng.uniform(0, float(track.length), B)
+    ey = rng.uniform(-1.0, 1.0, B)
+    if avoid_obstacles:
+        # dropping a car inside/adjacent to an obstacle disc is an infeasible
+        # start, not a solvable scenario; resample clear of every disc
+        obs = np.asarray(track.data.obstacles)
+        for _ in range(50):
+            bad = np.zeros(B, bool)
+            for o in obs:
+                d = np.sqrt((s - o[2]) ** 2 + (ey - o[3]) ** 2)
+                bad |= d < (o[4] + 2.0)
+            if not bad.any():
+                break
+            s[bad] = rng.uniform(0, float(track.length), int(bad.sum()))
+            ey[bad] = rng.uniform(-1.0, 1.0, int(bad.sum()))
+    states[:, s_i] = s
+    states[:, ey_i] = ey
     if ns == 8:  # dynamic bicycle
         states[:, 0] = 6.0 + rng.uniform(0, 8, B)  # Ux spread
-        states[:, 4] = rng.uniform(0, float(track.length), B)
-        states[:, 5] = rng.uniform(-1.0, 1.0, B)  # ey spread
     else:  # kinematic
         states[:, 0] = 2.0 + rng.uniform(0, 6, B)
-        states[:, 2] = rng.uniform(0, float(track.length), B)
-        states[:, 3] = rng.uniform(-1.0, 1.0, B)
     return states
 
 
@@ -146,24 +160,29 @@ def main():
         int(os.environ.get("BENCH_SOLVE_KERNEL", "1"))
     )
     solver_cfg = ALILQRConfig(
-        n_outer=solver["n_outer"],
-        n_inner=solver["n_inner"],
+        n_outer=int(os.environ.get("BENCH_OUTER", solver["n_outer"])),
+        n_inner=int(os.environ.get("BENCH_INNER", solver["n_inner"])),
         use_solve_kernel=use_solve_kernel,
         use_ls_kernel=use_kernels and not use_solve_kernel,
         use_backward_kernel=use_kernels and not use_solve_kernel,
         # latency mode: associative-scan Riccati cuts the backward sweep's
         # serial depth from O(H) to O(log H) (BENCH_PAR_RICCATI=0 disables)
+        # measured on v5e at N=30/B=1: sequential 41.9 ms vs scan 43.1 ms —
+        # the scan's 10x10 combine solves pad onto the MXU and lose to the
+        # closed-form sequential sweep below H~60; opt in for long horizons
         use_parallel_riccati=(
             mode == "latency"
-            and bool(int(os.environ.get("BENCH_PAR_RICCATI", "1")))
+            and bool(int(os.environ.get("BENCH_PAR_RICCATI", "0")))
         ),
+        unroll=int(os.environ.get("BENCH_UNROLL", "4")),
     )
     step = jax.jit(
         make_batched_racing_step(problem, solver_cfg, temporal, track.data, 0.05, s_index)
     )
 
     rng = np.random.default_rng(0)
-    states = jnp.asarray(initial_states(track, ns, B, rng), dtype)
+    avoid = "obstacles" in config_name or config_name == "kinematic"
+    states = jnp.asarray(initial_states(track, ns, B, rng, avoid), dtype)
     # physics-informed state-aligned warm start: scenarios are dropped
     # mid-track at speed, which the standing-start carry can't recover from
     # on the cascaded families (see parallel.aligned_carry)
