@@ -71,7 +71,10 @@ def build(config_name, N, dtype):
         p = kc.KinematicCarParams.from_config(carcfg)
         temporal, _ = kc.make_transitions(p)
         s_index, ns = 2, 6
-        solver = dict(n_outer=3, n_inner=8)
+        # the steering stop (problems._sat_col) makes the delta bound hold by
+        # construction; cold mid-curve drops then converge at the singletrack
+        # budget (was 3x8 at 46% conv before the stop; 2x6 measures 100%)
+        solver = dict(n_outer=2, n_inner=6)
     else:
         carcfg = load_config(os.path.join(root, "configs/models/dynamic_car.yaml"))
         if config_name == "singletrack":
@@ -85,13 +88,22 @@ def build(config_name, N, dtype):
             ctrl["obstacles"] = config_name == "cascaded_obstacles"
             tail = "pm"
             solver = dict(n_outer=3, n_inner=8)
+            if config_name == "cascaded_obstacles":
+                # obstacle barriers leave small AL residuals at mu_scale=10
+                # (conv 86% on cold drops); faster penalty growth converges
+                # the multipliers within the same iteration budget (98%+)
+                # without the extra outer loop. Neutral-to-harmful on the
+                # other families — obstacles-only.
+                solver["mu_scale"] = 30.0
         elif config_name == "cascaded_kinematic":
             ctrl = load_config(
                 os.path.join(root, "configs/controllers/cascaded_kinematic.yaml")
             )
             ctrl["obstacles"] = False
             tail = "kc"
-            solver = dict(n_outer=4, n_inner=12)
+            # steering stop on the kc tail: 3x8 converges 98%+ (the pre-stop
+            # budget was 4x12 and still left 6% of cold drops unconverged)
+            solver = dict(n_outer=3, n_inner=8)
         else:
             raise SystemExit(f"unknown BENCH_CONFIG {config_name}")
         problem = problems.build_cascaded_problem(carcfg, track, ctrl, tail, dtype)
@@ -162,6 +174,7 @@ def main():
     solver_cfg = ALILQRConfig(
         n_outer=int(os.environ.get("BENCH_OUTER", solver["n_outer"])),
         n_inner=int(os.environ.get("BENCH_INNER", solver["n_inner"])),
+        mu_scale=float(os.environ.get("BENCH_MU_SCALE", solver.get("mu_scale", 10.0))),
         use_solve_kernel=use_solve_kernel,
         use_ls_kernel=use_kernels and not use_solve_kernel,
         use_backward_kernel=use_kernels and not use_solve_kernel,

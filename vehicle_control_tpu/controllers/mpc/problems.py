@@ -134,6 +134,23 @@ class MPCProblem(NamedTuple):
     warm_start: object = None
 
 
+def _sat_col(x, idx, lo, hi):
+    """Saturating stop on one *integrated* state column.
+
+    The reference enforces the steering box as a hard IPOPT constraint on
+    every state column (kinematic_mpc.py:81-85, cascaded_mpc.py:103-106);
+    the rollout-based analogue is a steering stop: clip the integrated delta
+    at the bound so the constraint holds by construction instead of asking
+    the AL loop to pull an overshot trajectory back inside (which stalls on
+    cold mid-curve drops — the spatial steering dynamics delta' = w/s_dot
+    are stiff at low speed).  Slice-and-restack so the identical code lowers
+    inside Pallas kernels.
+    """
+    cols = [x[..., i] for i in range(x.shape[-1])]
+    cols[idx] = jnp.clip(cols[idx], lo, hi)
+    return jnp.stack(cols, axis=-1)
+
+
 def _boundary(ey, ds, w, ey_min, ey_max):
     """Soft road-bound penalty (reference: cascaded_mpc.py:139-149)."""
     below = jnp.where(ey < ey_min, (ey - ey_min) ** 2, 0.0)
@@ -386,7 +403,10 @@ def build_cascaded_problem(
         u_phys = u * u_scale_at(n)
         kv = params.curvature[..., n]
         dsn = params.ds[..., n]
-        st_next = st_spatial(x, u_phys, kv, dsn)
+        st_next = _sat_col(
+            st_spatial(x, u_phys, kv, dsn),
+            3, cons_st["delta_min"], cons_st["delta_max"],
+        )
 
         if tail == "none":
             next8 = st_next
@@ -415,13 +435,16 @@ def build_cascaded_problem(
                 # computed with the PREVIOUS action (reference uses
                 # action[:, N-2] at :264-276) carried in z[..., 8:10]
                 uprev_phys = z[..., 8:] * u_scale_at(jnp.maximum(n - 1, 0))
-                xdot = dc.temporal_ode(x, uprev_phys, jnp.zeros(()), p)
+                xdot = dc.temporal_ode(x, uprev_phys, jnp.zeros((), x.dtype), p)
                 a_final = jnp.sqrt(xdot[..., 0] ** 2 + xdot[..., 1] ** 2)
                 seam_next = jnp.stack(
                     [V, delta, s, ey, beta + epsi, t, a_final, uprev_phys[..., 1]],
                     axis=-1,
                 )
-                tail6 = tail_spatial(x[..., :6], u_phys, kv, dsn)
+                tail6 = _sat_col(
+                    tail_spatial(x[..., :6], u_phys, kv, dsn),
+                    1, cons_tail["delta_min"], cons_tail["delta_max"],
+                )
                 tail_next = jnp.concatenate(
                     [tail6, jnp.zeros(x.shape[:-1] + (2,), x.dtype)], axis=-1
                 )
@@ -701,7 +724,10 @@ def build_kinematic_problem(
 
     def dynamics(n, z, u, params):
         x = z[..., :6]
-        nxt = spatial(x, u, params.curvature[..., n], params.ds[..., n])
+        nxt = _sat_col(
+            spatial(x, u, params.curvature[..., n], params.ds[..., n]),
+            1, cons_st["delta_min"], cons_st["delta_max"],
+        )
         nxt = jnp.where(m_dyn(n), nxt, x)
         return jnp.concatenate([nxt, u], axis=-1)
 

@@ -284,6 +284,8 @@ def build_cascaded_family(car_config, cfg, tail, track_data) -> FMFamily:
         x = z[:8]
         dsn = ds_read(n)
         st_next = fm.rk4_step(x, Fx, u1, kv, dsn, p)
+        # steering stop on the integrated delta (problems._sat_col twin)
+        st_next[3] = jnp.clip(st_next[3], cs["delta_min"], cs["delta_max"])
         if tail == "none":
             next8 = st_next
         else:
@@ -308,6 +310,7 @@ def build_cascaded_family(car_config, cfg, tail, track_data) -> FMFamily:
                 tail6 = _euler_fields(
                     z[:6], _kc_prime(z[:6], Fx, u1, kv, kc_l, 0.3, 10.0, clamps), dsn
                 )
+                tail6[1] = jnp.clip(tail6[1], ct["delta_min"], ct["delta_max"])
                 tail8 = tail6 + [zero, zero]
             m_st = n < N - 1
             m_seam = n == N - 1
@@ -393,6 +396,8 @@ def build_kinematic_family(car_config, cfg, track_data) -> FMFamily:
         nxt = _euler_fields(
             x6, _kc_prime(x6, u[0], u[1], kv, l, 0.02, 50.0, clamps), ds_read(n)
         )
+        # steering stop on the integrated delta (problems._sat_col twin)
+        nxt[1] = jnp.clip(nxt[1], cs["delta_min"], cs["delta_max"])
         m = n < N
         next6 = [jnp.where(m, a, b) for a, b in zip(nxt, x6)]
         return tuple(next6) + (u[0], u[1])
