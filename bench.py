@@ -175,6 +175,7 @@ def main():
         n_outer=int(os.environ.get("BENCH_OUTER", solver["n_outer"])),
         n_inner=int(os.environ.get("BENCH_INNER", solver["n_inner"])),
         mu_scale=float(os.environ.get("BENCH_MU_SCALE", solver.get("mu_scale", 10.0))),
+        n_alpha=int(os.environ.get("BENCH_ALPHA", 8)),
         use_solve_kernel=use_solve_kernel,
         use_ls_kernel=use_kernels and not use_solve_kernel,
         use_backward_kernel=use_kernels and not use_solve_kernel,
