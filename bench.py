@@ -72,9 +72,9 @@ def build(config_name, N, dtype):
         temporal, _ = kc.make_transitions(p)
         s_index, ns = 2, 6
         # the steering stop (problems._sat_col) makes the delta bound hold by
-        # construction; cold mid-curve drops then converge at the singletrack
-        # budget (was 3x8 at 46% conv before the stop; 2x6 measures 100%)
-        solver = dict(n_outer=2, n_inner=6)
+        # construction; cold mid-curve drops then converge far below the old
+        # 3x8 budget (46% conv before the stop; 2x4 measures 100% on TPU)
+        solver = dict(n_outer=2, n_inner=4)
     else:
         carcfg = load_config(os.path.join(root, "configs/models/dynamic_car.yaml"))
         if config_name == "singletrack":
@@ -82,7 +82,10 @@ def build(config_name, N, dtype):
             ctrl["obstacles"] = False
             ctrl["horizon"] = N
             tail = "none"
-            solver = dict(n_outer=2, n_inner=6)
+            # n_alpha=6: the 8-rung line-search ladder buys nothing at warm
+            # steady state (61.0k@99.2% vs 57.5k@99.3% measured); 4 rungs is
+            # too coarse (97.2%)
+            solver = dict(n_outer=2, n_inner=6, n_alpha=6)
         elif config_name in ("cascaded", "cascaded_obstacles"):
             ctrl = load_config(os.path.join(root, "configs/controllers/cascaded.yaml"))
             ctrl["obstacles"] = config_name == "cascaded_obstacles"
@@ -93,8 +96,11 @@ def build(config_name, N, dtype):
                 # (conv 86% on cold drops); faster penalty growth converges
                 # the multipliers within the same iteration budget (98%+)
                 # without the extra outer loop. Neutral-to-harmful on the
-                # other families — obstacles-only.
+                # other families — obstacles-only.  Two polish iterations
+                # against the final multipliers convert another ~1.5pp of
+                # marginal lanes (measured on CPU drops).
                 solver["mu_scale"] = 30.0
+                solver["n_polish"] = 2
         elif config_name == "cascaded_kinematic":
             ctrl = load_config(
                 os.path.join(root, "configs/controllers/cascaded_kinematic.yaml")
@@ -175,7 +181,8 @@ def main():
         n_outer=int(os.environ.get("BENCH_OUTER", solver["n_outer"])),
         n_inner=int(os.environ.get("BENCH_INNER", solver["n_inner"])),
         mu_scale=float(os.environ.get("BENCH_MU_SCALE", solver.get("mu_scale", 10.0))),
-        n_alpha=int(os.environ.get("BENCH_ALPHA", 8)),
+        n_alpha=int(os.environ.get("BENCH_ALPHA", solver.get("n_alpha", 8))),
+        n_polish=int(os.environ.get("BENCH_POLISH", solver.get("n_polish", 0))),
         use_solve_kernel=use_solve_kernel,
         use_ls_kernel=use_kernels and not use_solve_kernel,
         use_backward_kernel=use_kernels and not use_solve_kernel,

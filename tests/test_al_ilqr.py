@@ -169,3 +169,38 @@ class TestBatching:
             np.asarray(sols.U[3]), np.asarray(single.U), atol=1e-10
         )
         assert bool(jnp.all(sols.converged))
+
+
+class TestPolish:
+    def test_polish_reduces_marginal_violation(self):
+        """n_polish re-optimizes against the FINAL multiplier update: with a
+        deliberately tight outer budget the residual on an active constraint
+        shrinks (and never grows) when polish iterations are added."""
+        H = 20
+        dt = 0.2
+        Aj = jnp.asarray([[1.0, dt], [0.0, 1.0]])
+        Bj = jnp.asarray([[0.5 * dt**2], [dt]])
+        vmax = 0.8
+
+        def dynamics(n, z, u, params):
+            return Aj @ z + Bj @ u
+
+        def stage_cost(n, z, u, params):
+            running = 0.01 * u[0] ** 2 - 1.0 * z[0]
+            terminal = 0.0 * z[0]
+            return jnp.where(n == H - 1, terminal, running)
+
+        def constraints(n, z, u, params):
+            return jnp.stack([z[1] - vmax, u[0] - 2.0, -2.0 - u[0]])
+
+        fns = OCPFunctions(dynamics, stage_cost, constraints)
+        base = dict(n_outer=2, n_inner=4, mu0=1.0)
+        sol0 = jax.jit(build_solver(fns, H, ALILQRConfig(**base)))(
+            None, jnp.zeros(2), jnp.zeros((H, 1))
+        )
+        solp = jax.jit(build_solver(fns, H, ALILQRConfig(**base, n_polish=3)))(
+            None, jnp.zeros(2), jnp.zeros((H, 1))
+        )
+        assert float(sol0.violation) > 1e-4  # budget tight enough to matter
+        assert float(solp.violation) <= float(sol0.violation) * 1.01
+        assert float(solp.violation) < float(sol0.violation) * 0.75

@@ -64,6 +64,11 @@ class ALILQRConfig:
 
     n_outer: int = 4  # augmented-Lagrangian multiplier updates
     n_inner: int = 10  # iLQR iterations per outer loop
+    n_polish: int = 0  # extra iLQR iterations AFTER the final multiplier
+    # update: without them the returned trajectory was optimized against the
+    # *previous* multipliers, so near-converged lanes keep O(tol_con..1e-3)
+    # residuals the last lam/mu update would have fixed.  2 polish iterations
+    # cost ~n_polish/(n_outer*n_inner) and convert those marginal lanes.
     n_alpha: int = 8  # parallel line-search candidates
     alpha_min: float = 1e-3  # smallest candidate step
     mu0: float = 10.0  # initial penalty
@@ -518,9 +523,21 @@ def build_solver(
             jnp.zeros((), jnp.int32),
             jnp.asarray(cfg.rho0, U_init.dtype),
         )
-        (X, U, lam, _, n_acc, _), trace = lax.scan(
+        (X, U, lam, mu, n_acc, rho), trace = lax.scan(
             outer_step_closed, carry, None, length=cfg.n_outer
         )
+
+        if cfg.n_polish > 0:
+            # optimize against the FINAL multipliers (see ALILQRConfig)
+            cost_al = total_al_cost(X, U, lam, mu, params)
+
+            def pstep(s, __):
+                return inner_step(s, __, lam, mu, params, z0)
+
+            init = (X, U, cost_al, rho, jnp.asarray(False), n_acc)
+            (X, U, _, rho, _, n_acc), _ = lax.scan(
+                pstep, init, None, length=cfg.n_polish
+            )
 
         cost, violation = raw_cost_and_violation(X, U, lam, params)
         converged = (violation < cfg.tol_con) & jnp.isfinite(cost)

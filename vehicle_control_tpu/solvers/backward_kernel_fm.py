@@ -24,6 +24,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from vehicle_control_tpu.solvers import fm_family
+
 SUB, LANE = 8, 128
 B_TILE = SUB * LANE
 
@@ -50,35 +52,18 @@ def build_backward_kernel_fm(family):
     ):
         mu = mu_ref[0, 0]
         rho = rho_ref[0, 0]
-        ones = jnp.ones((SUB, LANE), jnp.float32)
         zeros = jnp.zeros((SUB, LANE), jnp.float32)
         ds_read = lambda i: ds_ref[0, i]
 
         def stage_derivs(n):
             kv = curv_ref[0, n]
             lam = [lam_ref[0, n, j] for j in range(NC)]
-
-            def al_cost(*wf):
-                return jnp.sum(
-                    family.al_cost(n, wf, lambda j: lam[j], mu, kv, ds_read)
-                )
-
-            def dyn(*wf):
-                return family.dyn(n, wf, kv, ds_read)
-
             wf = tuple(x_ref[0, n, i] for i in range(NZ)) + tuple(
                 u_ref[0, n, j] for j in range(NU)
             )
-            grad_fn = jax.grad(al_cost, argnums=tuple(range(NW)))
-            g = grad_fn(*wf)
-            Hcols = []
-            Jcols = []
-            for i in range(NW):
-                tangents = tuple(ones if j == i else zeros for j in range(NW))
-                _, hcol = jax.jvp(lambda *a: grad_fn(*a), wf, tangents)
-                Hcols.append(hcol)
-                _, jcol = jax.jvp(lambda *a: dyn(*a), wf, tangents)
-                Jcols.append(jcol)
+            g, Hcols, Jcols = fm_family.stage_derivs_cols(
+                family, n, wf, lam, mu, kv, ds_read
+            )
             # symmetrized Hessian: Hs[r][c]
             Hs = [
                 [0.5 * (Hcols[c][r] + Hcols[r][c]) for c in range(NW)]

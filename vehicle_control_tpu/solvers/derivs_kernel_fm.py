@@ -27,6 +27,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from vehicle_control_tpu.solvers import fm_family
+
 SUB, LANE = 8, 128
 B_TILE = SUB * LANE
 
@@ -55,33 +57,19 @@ def build_derivs_kernel_fm(family):
         lam = [lam_ref[0, 0, j] for j in range(NC)]
         ds_read = lambda i: ds_ref[0, i]
 
-        def al_cost(*wf):
-            return jnp.sum(
-                family.al_cost(n, wf, lambda j: lam[j], mu, kv, ds_read)
-            )
-
-        def dyn(*wf):
-            return family.dyn(n, wf, kv, ds_read)
-
         wf = tuple(x_ref[0, 0, i] for i in range(NZ)) + tuple(
             u_ref[0, 0, j] for j in range(NU)
         )
-        ones = jnp.ones((SUB, LANE), jnp.float32)
-        zeros = jnp.zeros((SUB, LANE), jnp.float32)
-
-        grad_fn = jax.grad(al_cost, argnums=tuple(range(NW)))
-        g = grad_fn(*wf)
+        g, Hcols, Jcols = fm_family.stage_derivs_cols(
+            family, n, wf, lam, mu, kv, ds_read
+        )
         for i in range(NW):
             g_out[0, 0, i] = g[i]
-
         for i in range(NW):
-            tangents = tuple(ones if j == i else zeros for j in range(NW))
-            _, hcol = jax.jvp(lambda *a: grad_fn(*a), wf, tangents)
             for r in range(NW):
-                h_out[0, 0, r, i] = hcol[r]
-            _, jcol = jax.jvp(lambda *a: dyn(*a), wf, tangents)
+                h_out[0, 0, r, i] = Hcols[i][r]
             for r in range(NZ):
-                j_out[0, 0, r, i] = jcol[r]
+                j_out[0, 0, r, i] = Jcols[i][r]
 
     def tile(a, nb):
         rest = a.shape[1:]

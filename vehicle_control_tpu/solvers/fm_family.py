@@ -53,6 +53,48 @@ class FMFamily(NamedTuple):
     constraints: Callable  # (n, wf) -> list of NC tiles (c <= 0 feasible)
 
 
+def stage_derivs_cols(family, n, wf, lam, mu, kv, ds_read):
+    """In-kernel AD at one stage: AL-cost gradient plus Hessian/Jacobian
+    columns, all as (8, 128) field tiles.
+
+    ``wf`` = NZ state tiles + NU control tiles; ``lam`` a list of NC
+    multiplier tiles.  Returns ``(g, Hcols, Jcols)`` with ``Hcols[i][r]`` =
+    d²L/dw_r dw_i and ``Jcols[i][r]`` = d(next_r)/dw_i.  One shared body for
+    the derivs / fused-backward / whole-solve kernels so the three cannot
+    drift (ADVICE round-1).
+    """
+    import jax
+
+    NW = family.NZ + family.NU
+    ones = jnp.ones_like(wf[0])
+    zeros = jnp.zeros_like(wf[0])
+
+    def al_cost(*w):
+        return jnp.sum(family.al_cost(n, w, lambda j: lam[j], mu, kv, ds_read))
+
+    def dyn(*w):
+        return family.dyn(n, w, kv, ds_read)
+
+    grad_fn = jax.grad(al_cost, argnums=tuple(range(NW)))
+
+    def grad_and_dyn(*w):
+        # one function so each jvp linearizes grad+dynamics in a single
+        # pass — the primal trace (tire forces, spatial regularization) is
+        # shared instead of being evaluated twice per column
+        return grad_fn(*w), dyn(*w)
+
+    g = None
+    Hcols, Jcols = [], []
+    for i in range(NW):
+        tangents = tuple(ones if j == i else zeros for j in range(NW))
+        (gp, _), (hcol, jcol) = jax.jvp(grad_and_dyn, wf, tangents)
+        if g is None:
+            g = gp  # primal gradient comes free with the first column
+        Hcols.append(hcol)
+        Jcols.append(jcol)
+    return g, Hcols, Jcols
+
+
 def _obstacle_rows(track_data, on):
     """Static python-float obstacle rows (s, ey, r) — unrolled in-kernel."""
     if not on:

@@ -34,6 +34,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from vehicle_control_tpu.solvers import fm_family
+
 SUB, LANE = 8, 128
 B_TILE = SUB * LANE
 
@@ -62,6 +64,7 @@ def build_solve_kernel_fm(family, cfg):
         float(cfg.alpha_min ** (i / (cfg.n_alpha - 1))) for i in range(A)
     ]
     n_outer, n_inner = int(cfg.n_outer), int(cfg.n_inner)
+    n_polish = int(cfg.n_polish)
     armijo = float(cfg.armijo)
     tol_cost, tol_con = float(cfg.tol_cost), float(cfg.tol_con)
     mu0, mu_scale, mu_max = float(cfg.mu0), float(cfg.mu_scale), float(cfg.mu_max)
@@ -139,29 +142,12 @@ def build_solve_kernel_fm(family, cfg):
             def stage_derivs(n):
                 kv = curv_ref[0, n]
                 lam = [lam_s[n, j] for j in range(NC)]
-
-                def al_cost(*wf):
-                    return jnp.sum(
-                        family.al_cost(n, wf, lambda j: lam[j], mu, kv, ds_read)
-                    )
-
-                def dyn(*wf):
-                    return family.dyn(n, wf, kv, ds_read)
-
                 wf = tuple(X_s[n, i] for i in range(NZ)) + tuple(
                     U_s[n, j] for j in range(NU)
                 )
-                grad_fn = jax.grad(al_cost, argnums=tuple(range(NW)))
-                g = grad_fn(*wf)
-                Hcols, Jcols = [], []
-                for i in range(NW):
-                    tangents = tuple(
-                        ones if j == i else zeros for j in range(NW)
-                    )
-                    _, hcol = jax.jvp(lambda *a: grad_fn(*a), wf, tangents)
-                    Hcols.append(hcol)
-                    _, jcol = jax.jvp(lambda *a: dyn(*a), wf, tangents)
-                    Jcols.append(jcol)
+                g, Hcols, Jcols = fm_family.stage_derivs_cols(
+                    family, n, wf, lam, mu, kv, ds_read
+                )
                 Hs = [
                     [0.5 * (Hcols[c][r] + Hcols[r][c]) for c in range(NW)]
                     for r in range(NW)
@@ -392,8 +378,8 @@ def build_solve_kernel_fm(family, cfg):
         n_acc = zeros
         rho = jnp.full((SUB, LANE), rho0, jnp.float32)
         mu_val = mu0
-        for _outer in range(n_outer):
-            mu = jnp.full((SUB, LANE), mu_val, jnp.float32)
+
+        def run_inner(mu, rho, n_acc, length):
             cost_al = total_al_cost(mu)
             done = zeros
 
@@ -452,8 +438,13 @@ def build_solve_kernel_fm(family, cfg):
                 return (cost_al, rho, done_new, n_acc)
 
             cost_al, rho, done, n_acc = jax.lax.fori_loop(
-                0, n_inner, inner_body, (cost_al, rho, done, n_acc)
+                0, length, inner_body, (cost_al, rho, done, n_acc)
             )
+            return rho, n_acc
+
+        for _outer in range(n_outer):
+            mu = jnp.full((SUB, LANE), mu_val, jnp.float32)
+            rho, n_acc = run_inner(mu, rho, n_acc, n_inner)
 
             # multiplier update (uses this outer iteration's mu)
             def lam_body(n, c):
@@ -467,6 +458,11 @@ def build_solve_kernel_fm(family, cfg):
 
             jax.lax.fori_loop(0, H, lam_body, 0.0)
             mu_val = min(mu_val * mu_scale, mu_max)
+
+        if n_polish > 0:
+            # optimize against the FINAL multipliers (ALILQRConfig.n_polish)
+            mu = jnp.full((SUB, LANE), mu_val, jnp.float32)
+            rho, n_acc = run_inner(mu, rho, n_acc, n_polish)
 
         # ---- finalize: raw cost, violation, outputs -------------------------
         def final_body(n, carry):
