@@ -42,20 +42,21 @@ class TestCascadedGoldenParity:
         return rep
 
     def test_typical_step_agreement(self, report):
-        # median per-step deviation: a few N of ~2500 N RMS force signal,
-        # sub-mrad/s steer rate (measured ~1 N / 1e-4 on the full lap)
-        assert report.median_abs_dev[0] < 30.0  # Fx [N]
-        assert report.median_abs_dev[1] < 2e-3  # w [rad/s]
+        # gates pinned to the measured full-lap envelope (PARITY.json:
+        # median 1.16 N / 9.6e-5 rad/s on race1) with ~4x headroom
+        assert report.median_abs_dev[0] < 8.0  # Fx [N] of ~2500 N RMS signal
+        assert report.median_abs_dev[1] < 1e-3  # w [rad/s]
 
     def test_sequence_correlation(self, report):
-        assert report.correlation[0] > 0.9
-        assert report.correlation[1] > 0.85
+        # measured full-lap: 0.960 / 0.926 (PARITY.json race1)
+        assert report.correlation[0] > 0.93
+        assert report.correlation[1] > 0.88
 
     def test_rms_bounded(self, report):
         # RMS deviation dominated by a handful of multi-modal curve-entry
-        # steps; must stay well under the signal itself
-        assert report.rms_dev[0] < 0.35 * report.rms_ref[0]
-        assert report.rms_dev[1] < 0.55 * report.rms_ref[1]
+        # steps; measured full-lap normalized RMS 0.231 / 0.413
+        assert report.rms_dev[0] < 0.30 * report.rms_ref[0]
+        assert report.rms_dev[1] < 0.50 * report.rms_ref[1]
 
 
 @pytest.mark.skipif(not os.path.isdir(REF_DATA), reason="reference not mounted")
@@ -87,9 +88,13 @@ class TestSingletrackGoldenParity:
         rep = action_parity(step, initial_carry(prob), ref, n_steps=100)
         print()
         print(rep)
-        assert rep.correlation[0] > 0.8
-        assert rep.correlation[1] > 0.8
-        assert rep.median_abs_dev[1] < 5e-3
+        # measured full-lap (PARITY.json): corr 0.99998 / 0.9994, median
+        # 4.36 N / 1.4e-4 rad/s — gates with generous headroom but 10-25x
+        # tighter than the round-1 0.8/0.8
+        assert rep.correlation[0] > 0.995
+        assert rep.correlation[1] > 0.99
+        assert rep.median_abs_dev[0] < 15.0
+        assert rep.median_abs_dev[1] < 1e-3
 
 
 @pytest.mark.skipif(not os.path.isdir(REF_DATA), reason="reference not mounted")

@@ -51,6 +51,11 @@ class FMFamily(NamedTuple):
     u_box: Callable  # (n, j) -> (lo, hi) clamp bounds, solver units
     stage_cost: Callable  # (n, wf, kv, ds_read) -> raw cost tile (no penalty)
     constraints: Callable  # (n, wf) -> list of NC tiles (c <= 0 feasible)
+    # optional: (n, wf, ds_read) -> {col: (Hcol[NW], Jcol[NZ])} closed-form
+    # Hessian/Jacobian columns for variables the family only touches
+    # trivially (the prev-action stash); stage_derivs_cols skips the jvp for
+    # those columns — 2 of 12 on the singletrack hot path
+    analytic_cols: Callable | None = None
 
 
 def stage_derivs_cols(family, n, wf, lam, mu, kv, ds_read):
@@ -83,13 +88,17 @@ def stage_derivs_cols(family, n, wf, lam, mu, kv, ds_read):
         # shared instead of being evaluated twice per column
         return grad_fn(*w), dyn(*w)
 
+    closed = family.analytic_cols(n, wf, ds_read) if family.analytic_cols else {}
     g = None
     Hcols, Jcols = [], []
     for i in range(NW):
-        tangents = tuple(ones if j == i else zeros for j in range(NW))
-        (gp, _), (hcol, jcol) = jax.jvp(grad_and_dyn, wf, tangents)
-        if g is None:
-            g = gp  # primal gradient comes free with the first column
+        if i in closed:
+            hcol, jcol = closed[i]
+        else:
+            tangents = tuple(ones if j == i else zeros for j in range(NW))
+            (gp, _), (hcol, jcol) = jax.jvp(grad_and_dyn, wf, tangents)
+            if g is None:
+                g = gp  # primal gradient comes free with the first column
         Hcols.append(hcol)
         Jcols.append(jcol)
     return g, Hcols, Jcols
@@ -377,7 +386,32 @@ def build_cascaded_family(car_config, cfg, tail, track_data) -> FMFamily:
             return lo, hi
         return ci["w_min"], ci["w_max"]
 
-    return FMFamily(NZ, NU, NC, H, al_cost, dyn, u_box, stage_cost, constraints)
+    analytic_cols = None
+    if tail == "none":
+        # the prev-action stash (z8 = Fx_prev, z9 = w_prev) enters the
+        # singletrack family ONLY through the Fx-slew term
+        # slew_on * (w_Fx/ds_prev) * (u0*FS - z8*FS)^2  (st_running_cost_
+        # fields:105-106); its Hessian column is two closed-form entries and
+        # the dynamics never read the stash (stash_next = u), so both jvp
+        # columns are skippable.
+        def analytic_cols(n, wf, ds_read):
+            zero = jnp.zeros_like(wf[0])
+            ds_prev = ds_read(jnp.maximum(n - 1, 0))
+            coef = (
+                ((n >= 1) & (n < N))
+                * (2.0 * w["Fx"] / ds_prev)
+                * (FORCE_SCALE * FORCE_SCALE)
+            ) + zero
+            h8 = [zero] * (NZ + NU)
+            h8[8] = coef
+            h8[NZ + 0] = -coef
+            jz = [zero] * NZ
+            return {8: (h8, jz), 9: ([zero] * (NZ + NU), jz)}
+
+    return FMFamily(
+        NZ, NU, NC, H, al_cost, dyn, u_box, stage_cost, constraints,
+        analytic_cols,
+    )
 
 
 def build_kinematic_family(car_config, cfg, track_data) -> FMFamily:

@@ -89,8 +89,6 @@ def build_solve_kernel_fm(family, cfg):
         lam_s,  # scratch (H, NC, 8, 128)
         kff_s,  # scratch (H, NU, 8, 128)
         kfb_s,  # scratch (H, NU, NZ, 8, 128)
-        Xn_s,  # scratch (H, NZ, 8, 128)  selected-candidate trajectory
-        Un_s,  # scratch (H, NU, 8, 128)
     ):
         ones = jnp.ones((SUB, LANE), jnp.float32)
         zeros = jnp.zeros((SUB, LANE), jnp.float32)
@@ -330,11 +328,18 @@ def build_solve_kernel_fm(family, cfg):
             accs = res[A * NZ :]
             return [jnp.where(jnp.isfinite(a_), a_, jnp.inf) for a_ in accs]
 
-        def reroll(alpha_sel, mu):
-            """Roll the per-lane selected step; writes Xn_s/Un_s, returns cost."""
+        def reroll_accept(alpha_sel, upd):
+            """Roll the per-lane selected step and write it into X_s/U_s on
+            lanes where ``upd`` (float mask), in place.
 
-            def body(n, carry):
-                *z, acc = carry
+            The accepted cost is NOT recomputed here: the candidate sweep
+            already accumulated the identical per-stage sequence, so the
+            caller selects it from ``costs`` by alpha.  In-place is safe:
+            stage n reads X_s[n] (old) before overwriting it, and later
+            stages only read their own rows.
+            """
+
+            def body(n, z):
                 dz = [z[i] - X_s[n, i] for i in range(NZ)]
                 u = []
                 for j in range(NU):
@@ -344,35 +349,17 @@ def build_solve_kernel_fm(family, cfg):
                     uj = U_s[n, j] + alpha_sel * kff_s[n, j] + fb
                     lo, hi = family.u_box(n, j)
                     u.append(jnp.clip(uj, lo, hi))
-                for i in range(NZ):
-                    Xn_s[n, i] = z[i]
-                for j in range(NU):
-                    Un_s[n, j] = u[j]
                 wf = tuple(z) + tuple(u)
-                c = al_cost_at(n, wf, mu)
                 z2 = family.dyn(n, wf, curv_ref[0, n], ds_read)
-                finite = ones > 0.0
-                for f in z2:
-                    finite &= jnp.isfinite(f) & (jnp.abs(f) < 1e7)
-                acc = jnp.where(finite, acc + c, jnp.inf)
-                return tuple(z2) + (acc,)
-
-            init = tuple(z0_ref[0, i] for i in range(NZ)) + (zeros,)
-            out = jax.lax.fori_loop(0, H, body, init)
-            total = out[-1]
-            return jnp.where(jnp.isfinite(total), total, jnp.inf)
-
-        def accept_copy(upd):
-            """X_s/U_s <- Xn_s/Un_s on lanes where ``upd`` (float mask)."""
-
-            def body(n, c):
                 for i in range(NZ):
-                    X_s[n, i] = jnp.where(upd > 0.5, Xn_s[n, i], X_s[n, i])
+                    X_s[n, i] = jnp.where(upd > 0.5, z[i], X_s[n, i])
                 for j in range(NU):
-                    U_s[n, j] = jnp.where(upd > 0.5, Un_s[n, j], U_s[n, j])
-                return c
+                    U_s[n, j] = jnp.where(upd > 0.5, u[j], U_s[n, j])
+                return tuple(z2)
 
-            jax.lax.fori_loop(0, H, body, 0.0)
+            jax.lax.fori_loop(
+                0, H, body, tuple(z0_ref[0, i] for i in range(NZ))
+            )
 
         # ---- outer AL loop (static unroll) ----------------------------------
         n_acc = zeros
@@ -408,9 +395,15 @@ def build_solve_kernel_fm(family, cfg):
                     alpha_sel = jnp.where(ok & ~found, al, alpha_sel)
                     found = found | ok
                 any_ok = found
-                cost_sel = reroll(alpha_sel, mu)
+                # accepted cost = the selected candidate's sweep accumulator
+                # (identical op sequence to a re-roll, so bitwise the same)
+                cost_sel = costs[0]
+                for a in range(1, A):
+                    cost_sel = jnp.where(
+                        alpha_sel == alphas[a], costs[a], cost_sel
+                    )
                 upd = (any_ok & (done < 0.5)).astype(jnp.float32)
-                accept_copy(upd)
+                reroll_accept(alpha_sel, upd)
                 cost_new = jnp.where(any_ok, cost_sel, cost_al)
                 rho_new = jnp.where(
                     any_ok,
@@ -547,8 +540,6 @@ def build_solve_kernel_fm(family, cfg):
             pltpu.VMEM((H, NC, SUB, LANE), f32),
             pltpu.VMEM((H, NU, SUB, LANE), f32),
             pltpu.VMEM((H, NU, NZ, SUB, LANE), f32),
-            pltpu.VMEM((H, NZ, SUB, LANE), f32),
-            pltpu.VMEM((H, NU, SUB, LANE), f32),
         ]
         X, U, lam, cost, viol, conv, iters = pl.pallas_call(
             kernel,
