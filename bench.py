@@ -196,6 +196,9 @@ def main():
             and bool(int(os.environ.get("BENCH_PAR_RICCATI", "0")))
         ),
         unroll=int(os.environ.get("BENCH_UNROLL", "4")),
+        # solve-kernel inner loop exits once a whole tile is done (bitwise-
+        # identical; see ALILQRConfig.early_exit).  BENCH_EARLY_EXIT=0 for A/B.
+        early_exit=bool(int(os.environ.get("BENCH_EARLY_EXIT", "1"))),
     )
     step = jax.jit(
         make_batched_racing_step(problem, solver_cfg, temporal, track.data, 0.05, s_index)

@@ -166,6 +166,90 @@ def test_kinematic_family_matches_problem(ippodromo_track, obstacles):
             )
 
 
+@pytest.mark.parametrize(
+    "name,tail,obstacles",
+    [
+        ("cascaded", "pm", False),
+        ("cascaded", "pm", True),
+        ("cascaded_kinematic", "kc", False),
+        ("cascaded_kinematic", "kc", True),
+    ],
+)
+def test_segment_specialization_matches_generic(
+    ippodromo_track, name, tail, obstacles
+):
+    """seg-specialized closures == fully-masked generic closures.
+
+    The whole-solve kernel iterates the horizon one static segment at a time
+    (FMFamily.segments) so tail stages skip the single-track RK4 entirely;
+    this pins every closure's specialized branch to the generic masked body
+    at both ends of every segment.
+    """
+    cfg = dict(_cfg(f"controllers/{name}.yaml"), obstacles=obstacles)
+    cfg["horizon"] = 6
+    if tail == "pm":
+        cfg["horizon_pm"] = 8
+    else:
+        cfg["horizon_kc"] = 8
+    car = _cfg("models/dynamic_car.yaml")
+    fam = build_cascaded_family(car, cfg, tail, ippodromo_track.data)
+    assert fam.segments is not None
+    covered = [i for s in fam.segments for i in range(s.lo, s.hi)]
+    assert covered == list(range(fam.H)), fam.segments
+
+    rng = np.random.default_rng(3)
+    kv = jnp.asarray(rng.uniform(-0.05, 0.05, (SUB, LANE)).astype(np.float32))
+    ds_row = rng.uniform(0.1, 3.0, fam.H).astype(np.float32)
+    ds_read = lambda i: jnp.asarray(ds_row)[i] * jnp.ones((SUB, LANE), jnp.float32)
+    mu_t = jnp.full((SUB, LANE), 10.0)
+    lam_t = _tiles(np.abs(rng.normal(size=(B, fam.NC)) * 0.2).astype(np.float32))
+
+    for seg in fam.segments:
+        for n in {seg.lo, seg.hi - 1}:
+            nj = jnp.asarray(n, jnp.int32)
+            Z = rng.normal(size=(B, fam.NZ)).astype(np.float32) * 0.5
+            Z[:, 0] = 4.0 + rng.uniform(0, 10, B)
+            Z[:, 4] = rng.uniform(0, 250, B)
+            U = (rng.normal(size=(B, fam.NU)) * 0.1).astype(np.float32)
+            wf = tuple(_tiles(Z)) + tuple(_tiles(U))
+
+            a0 = fam.al_cost(nj, wf, lambda j: lam_t[j], mu_t, kv, ds_read)
+            a1 = fam.al_cost(nj, wf, lambda j: lam_t[j], mu_t, kv, ds_read, seg=seg)
+            np.testing.assert_allclose(
+                _from_tile(a1), _from_tile(a0), rtol=1e-6, atol=1e-5,
+                err_msg=f"{name} obs={obstacles} seg={seg} n={n} al_cost",
+            )
+            d0 = fam.dyn(nj, wf, kv, ds_read)
+            d1 = fam.dyn(nj, wf, kv, ds_read, seg=seg)
+            for i in range(fam.NZ):
+                np.testing.assert_allclose(
+                    _from_tile(d1[i]), _from_tile(d0[i]), rtol=1e-6, atol=1e-6,
+                    err_msg=f"{name} obs={obstacles} seg={seg} n={n} dyn[{i}]",
+                )
+            c0 = fam.constraints(nj, wf)
+            c1 = fam.constraints(nj, wf, seg=seg)
+            for j in range(fam.NC):
+                np.testing.assert_allclose(
+                    _from_tile(c1[j]), _from_tile(c0[j]), rtol=1e-6, atol=1e-6,
+                    err_msg=f"{name} obs={obstacles} seg={seg} n={n} con[{j}]",
+                )
+            s0 = fam.stage_cost(nj, wf, kv, ds_read)
+            s1 = fam.stage_cost(nj, wf, kv, ds_read, seg=seg)
+            np.testing.assert_allclose(
+                _from_tile(s1), _from_tile(s0), rtol=1e-6, atol=1e-5,
+                err_msg=f"{name} obs={obstacles} seg={seg} n={n} stage_cost",
+            )
+            for j in range(fam.NU):
+                b0 = fam.u_box(nj, j)
+                b1 = fam.u_box(nj, j, seg=seg)
+                for x, y in zip(b0, b1):
+                    xv = np.asarray(jnp.broadcast_to(jnp.asarray(x, jnp.float32), (SUB, LANE)))
+                    yv = np.asarray(jnp.broadcast_to(jnp.asarray(y, jnp.float32), (SUB, LANE)))
+                    np.testing.assert_allclose(
+                        yv, xv, err_msg=f"{name} seg={seg} n={n} u_box[{j}]",
+                    )
+
+
 @pytest.mark.parametrize("name,tail,obstacles", [("cascaded", "pm", True)])
 def test_family_gradients_match(ippodromo_track, name, tail, obstacles):
     """Spot-check in-kernel-style AD (grad + jvp columns) vs jacfwd(grad)."""

@@ -92,6 +92,11 @@ class ALILQRConfig:
     use_solve_kernel: bool = False  # ONE Pallas kernel for the entire solve
     # (warm rollout + all AL/iLQR iterations + multiplier updates in VMEM);
     # supersedes the per-phase kernels on the batched TPU throughput path
+    early_exit: bool = True  # solve kernel only: stop the inner loop once
+    # every lane in the 1024-scenario tile is done.  Iterations past that
+    # point are exact no-ops (all updates masked by was_done), so the early
+    # exit is bitwise-identical; in warm steady state most tiles drain in
+    # 1-3 of the n_inner budgeted iterations
     unroll: int = 4  # lax.scan unroll for the per-stage sweeps: the stages
     # are tiny (10x10 blocks), so dispatch overhead dominates a rolled scan
     # on TPU; unrolling lets XLA fuse several stages per loop iteration

@@ -33,6 +33,19 @@ FORCE_SCALE = fm.FORCE_SCALE
 OBSTACLE_EPS = 1e-2  # problems.OBSTACLE_EPS
 
 
+class Seg(NamedTuple):
+    """Static stage segment ``[lo, hi)`` over which every stage-switched
+    branch of a family is constant (the cut set includes every branch
+    point), so closures given ``seg`` compute ONLY the live branch instead
+    of all branches masked by the traced stage index.  For the cascaded
+    families this removes the full single-track RK4 (and its in-kernel AD)
+    from the M tail stages — the dominant waste in the round-2 whole-solve
+    kernel (tail stages are 2/3 of the cascaded horizon)."""
+
+    lo: int
+    hi: int
+
+
 class FMFamily(NamedTuple):
     """Kernel-facing problem family.
 
@@ -40,6 +53,11 @@ class FMFamily(NamedTuple):
     tiles (solver units); ``lam_read(j)`` / ``ds_read(i)`` read multiplier
     and arc-step tiles (``i`` may be traced or static); ``kv`` is the stage
     curvature tile.
+
+    When ``segments`` is set, every stage closure additionally accepts a
+    keyword ``seg`` (one of those segments, or None for the fully-masked
+    generic body); kernels iterate the stage loops one segment at a time so
+    stage-switched physics specializes at trace time.
     """
 
     NZ: int
@@ -56,9 +74,11 @@ class FMFamily(NamedTuple):
     # trivially (the prev-action stash); stage_derivs_cols skips the jvp for
     # those columns — 2 of 12 on the singletrack hot path
     analytic_cols: Callable | None = None
+    # optional static partition of [0, H) for stage-specialized kernels
+    segments: tuple | None = None
 
 
-def stage_derivs_cols(family, n, wf, lam, mu, kv, ds_read):
+def stage_derivs_cols(family, n, wf, lam, mu, kv, ds_read, seg=None):
     """In-kernel AD at one stage: AL-cost gradient plus Hessian/Jacobian
     columns, all as (8, 128) field tiles.
 
@@ -66,39 +86,45 @@ def stage_derivs_cols(family, n, wf, lam, mu, kv, ds_read):
     multiplier tiles.  Returns ``(g, Hcols, Jcols)`` with ``Hcols[i][r]`` =
     d²L/dw_r dw_i and ``Jcols[i][r]`` = d(next_r)/dw_i.  One shared body for
     the derivs / fused-backward / whole-solve kernels so the three cannot
-    drift (ADVICE round-1).
+    drift (ADVICE round-1).  ``seg`` (a family segment) specializes the
+    stage-switched branches at trace time — the jvp then differentiates only
+    the live branch's physics.
     """
     import jax
 
     NW = family.NZ + family.NU
     ones = jnp.ones_like(wf[0])
     zeros = jnp.zeros_like(wf[0])
+    kw = {} if seg is None else {"seg": seg}
 
     def al_cost(*w):
-        return jnp.sum(family.al_cost(n, w, lambda j: lam[j], mu, kv, ds_read))
+        return jnp.sum(
+            family.al_cost(n, w, lambda j: lam[j], mu, kv, ds_read, **kw)
+        )
 
     def dyn(*w):
-        return family.dyn(n, w, kv, ds_read)
+        return family.dyn(n, w, kv, ds_read, **kw)
 
     grad_fn = jax.grad(al_cost, argnums=tuple(range(NW)))
 
     def grad_and_dyn(*w):
-        # one function so each jvp linearizes grad+dynamics in a single
+        # one function so the linearization covers grad+dynamics in a single
         # pass — the primal trace (tire forces, spatial regularization) is
         # shared instead of being evaluated twice per column
         return grad_fn(*w), dyn(*w)
 
     closed = family.analytic_cols(n, wf, ds_read) if family.analytic_cols else {}
-    g = None
+    # one linearize instead of NW independent jvps: the (expensive) primal
+    # forward-over-reverse trace runs ONCE; each column then applies only the
+    # stored tangent map.  Mathematically the same jvp linearization.
+    (g, _), lin = jax.linearize(grad_and_dyn, *wf)
     Hcols, Jcols = [], []
     for i in range(NW):
         if i in closed:
             hcol, jcol = closed[i]
         else:
             tangents = tuple(ones if j == i else zeros for j in range(NW))
-            (gp, _), (hcol, jcol) = jax.jvp(grad_and_dyn, wf, tangents)
-            if g is None:
-                g = gp  # primal gradient comes free with the first column
+            hcol, jcol = lin(*tangents)
         Hcols.append(hcol)
         Jcols.append(jcol)
     return g, Hcols, Jcols
@@ -221,14 +247,26 @@ def build_cascaded_family(car_config, cfg, tail, track_data) -> FMFamily:
             return jnp.where(n < N, 1.0, FORCE_SCALE)
         return 1.0
 
-    def split(n, wf):
-        """Physical-unit controls + previous controls from the padded state."""
+    def split(n, wf, seg=None):
+        """Physical-unit controls + previous controls from the padded state.
+
+        With ``seg`` the pm-tail u1 unit switch (w for n<N, Fy after)
+        resolves statically: the segment cuts include N and N+1, so both the
+        stage's and the previous stage's side of the switch are constant
+        over the segment.
+        """
         z, u = wf[:NZ], wf[NZ:]
-        nprev = jnp.maximum(n - 1, 0)
         Fx = u[0] * FORCE_SCALE
-        u1 = u[1] * u1_scale(n)
         Fx_prev = z[8] * FORCE_SCALE
-        u1_prev = z[9] * u1_scale(nprev)
+        if seg is None:
+            nprev = jnp.maximum(n - 1, 0)
+            u1 = u[1] * u1_scale(n)
+            u1_prev = z[9] * u1_scale(nprev)
+        elif tail == "pm":
+            u1 = u[1] * (FORCE_SCALE if seg.lo >= N else 1.0)
+            u1_prev = z[9] * (FORCE_SCALE if seg.lo >= N + 1 else 1.0)
+        else:
+            u1, u1_prev = u[1] * 1.0, z[9] * 1.0
         return z, Fx, u1, Fx_prev, u1_prev
 
     # -- cost ----------------------------------------------------------------
@@ -250,36 +288,48 @@ def build_cascaded_family(car_config, cfg, tail, track_data) -> FMFamily:
             + w["epsi"] * epsi**2
         )
 
-    def stage_cost(n, wf, kv, ds_read):
-        z, Fx, u1, Fx_prev, u1_prev = split(n, wf)
+    def stage_cost(n, wf, kv, ds_read, seg=None):
+        z, Fx, u1, Fx_prev, u1_prev = split(n, wf, seg)
         x = z[:8]
         dsn = ds_read(n)
         ds_prev = ds_read(jnp.maximum(n - 1, 0))
-        # single-track branch (problems.st_cost)
-        c_st = fm.st_running_cost_fields(
-            n, x, Fx, u1, Fx_prev, dsn, ds_prev, p, w, cs, N
-        )
-        if obstacles_on:
-            if tail == "kc":
-                c_st += _obstacles_kc(obs_rows, x[4], x[5], dsn, n.astype(jnp.float32))
-            else:
-                c_st += _obstacles_std(obs_rows, x[4], x[5], dsn, w["obstacles"])
-        cost = (n < N) * c_st
-        if tail == "pm":
+        # branch activity: traced masks when seg is None, Python bools when
+        # the (static) segment pins the branch — dead branches are skipped
+        st_on = (n < N) if seg is None else (seg.hi <= N)
+        tail_on = (n >= N) if seg is None else (seg.lo >= N)
+        sw_on = (n == N) if seg is None else (seg.lo <= N < seg.hi)
+        term_on = (n == H - 1) if seg is None else (seg.lo <= H - 1 < seg.hi)
+        cost = jnp.zeros_like(z[0])
+        if st_on is not False:
+            # single-track branch (problems.st_cost)
+            c_st = fm.st_running_cost_fields(
+                n, x, Fx, u1, Fx_prev, dsn, ds_prev, p, w, cs, N
+            )
+            if obstacles_on:
+                nf = jnp.asarray(n).astype(jnp.float32)
+                if tail == "kc":
+                    c_st += _obstacles_kc(obs_rows, x[4], x[5], dsn, nf)
+                else:
+                    c_st += _obstacles_std(obs_rows, x[4], x[5], dsn, w["obstacles"])
+            cost += c_st if st_on is True else st_on * c_st
+        if tail == "pm" and tail_on is not False:
             ey = z[2]
             c_pm = fm.boundary_fields(ey, dsn, w["boundary"], ct["ey_min"], ct["ey_max"])
             c_pm += w["deviation_pm"] * dsn * ey**2
             slew = (w["Fx"] / ds_prev) * (Fx - Fx_prev) ** 2
             slew += (w["Fy"] / ds_prev) * (u1 - u1_prev) ** 2
-            c_pm += (n >= N + 1) * slew
+            slew_on = (n >= N + 1) if seg is None else (seg.lo >= N + 1)
+            if slew_on is not False:
+                c_pm += slew if slew_on is True else slew_on * slew
             if obstacles_on:
                 c_pm += _obstacles_std(obs_rows, z[1], ey, dsn, w["obstacles"])
-            cost += (n >= N) * c_pm
+            cost += c_pm if tail_on is True else tail_on * c_pm
+        if tail == "pm" and sw_on is not False:
             c_sw = (w["switch_F"] / ds_read(N - 1)) * (
                 (Fx - Fx_prev) ** 2 + (u1 - z[5]) ** 2
             )
-            cost += (n == N) * c_sw
-        elif tail == "kc":
+            cost += c_sw if sw_on is True else sw_on * c_sw
+        if tail == "kc" and tail_on is not False:
             ey = z[3]
             c_kc = fm.boundary_fields(ey, dsn, w["boundary"], ct["ey_min"], ct["ey_max"])
             c_kc += w["deviation_kc"] * dsn * ey**2
@@ -287,22 +337,26 @@ def build_cascaded_family(car_config, cfg, tail, track_data) -> FMFamily:
             slew_on = (n >= N + 1) & (n - 1 < _K - 1)
             c_kc += slew_on * w["a"] * (Fx - Fx_prev) ** 2
             if obstacles_on:
-                c_kc += _obstacles_kc(obs_rows, z[2], ey, dsn, n.astype(jnp.float32))
-            cost += (n >= N) * c_kc
+                nf = jnp.asarray(n).astype(jnp.float32)
+                c_kc += _obstacles_kc(obs_rows, z[2], ey, dsn, nf)
+            cost += c_kc if tail_on is True else tail_on * c_kc
+        if tail == "kc" and sw_on is not False:
             c_sw = (w["Fy"] / ds_read(min(N, H - 1))) * (
                 (z[6] - Fx) ** 2 + (z[7] - u1) ** 2
             )
-            cost += (n == N) * c_sw
-        cost += (n == H - 1) * term_cost(z)
+            cost += c_sw if sw_on is True else sw_on * c_sw
+        if term_on is not False:
+            t_c = term_cost(z)
+            cost += t_c if term_on is True else term_on * t_c
         return cost
 
     # -- constraints + AL penalty -------------------------------------------
 
-    def constraints(n, wf):
-        z, Fx, u1, _, _ = split(n, wf)
-        c_st = fm.constraint_fields(z[:8], Fx, u1, p, ci, cs)
-        if tail == "none":
-            return c_st
+    def constraints(n, wf, seg=None):
+        z, Fx, u1, _, _ = split(n, wf, seg)
+        st_on = None if seg is None else (seg.hi <= N)
+        if tail == "none" or st_on is True:
+            return fm.constraint_fields(z[:8], Fx, u1, p, ci, cs)
         neg1 = jnp.full_like(z[0], -1.0)
         if tail == "pm":
             V = z[0]
@@ -321,66 +375,100 @@ def build_cascaded_family(car_config, cfg, tail, track_data) -> FMFamily:
                 u1 - ci["w_max"],
                 ci["w_min"] - u1,
             ] + [neg1] * 3
+        if st_on is False:
+            return c_tail
+        c_st = fm.constraint_fields(z[:8], Fx, u1, p, ci, cs)
         m = n < N
         return [jnp.where(m, a, b) for a, b in zip(c_st, c_tail)]
 
-    def al_cost(n, wf, lam_read, mu, kv, ds_read):
-        c = stage_cost(n, wf, kv, ds_read)
-        return c + fm.al_penalty_fields(constraints(n, wf), lam_read, mu)
+    def al_cost(n, wf, lam_read, mu, kv, ds_read, seg=None):
+        c = stage_cost(n, wf, kv, ds_read, seg)
+        return c + fm.al_penalty_fields(constraints(n, wf, seg), lam_read, mu)
 
     # -- dynamics -------------------------------------------------------------
 
-    def dyn(n, wf, kv, ds_read):
-        z, Fx, u1, Fx_prev, u1_prev = split(n, wf)
+    def dyn(n, wf, kv, ds_read, seg=None):
+        z, Fx, u1, Fx_prev, u1_prev = split(n, wf, seg)
         x = z[:8]
         dsn = ds_read(n)
-        st_next = fm.rk4_step(x, Fx, u1, kv, dsn, p)
-        # steering stop on the integrated delta (problems._sat_col twin)
-        st_next[3] = jnp.clip(st_next[3], cs["delta_min"], cs["delta_max"])
+        # branch activity (static under seg: cuts include N-1 and N)
+        st_on = None if seg is None else (seg.hi <= N - 1)
+        seam_on = None if seg is None else (seg.lo <= N - 1 < seg.hi)
+        tail_only = seg is not None and seg.lo >= N
+
+        def st_branch():
+            nxt = fm.rk4_step(x, Fx, u1, kv, dsn, p)
+            # steering stop on the integrated delta (problems._sat_col twin)
+            nxt[3] = jnp.clip(nxt[3], cs["delta_min"], cs["delta_max"])
+            return nxt
+
         if tail == "none":
-            next8 = st_next
+            next8 = st_branch()
+        elif st_on is True:
+            next8 = st_branch()
         else:
             Ux, Uy, r, delta, s, ey, epsi, t = x
-            V = jnp.sqrt(Ux**2 + Uy**2)
-            beta = arctan(safe_div(Uy, Ux))
-            zero = jnp.zeros_like(V)
-            if tail == "pm":
-                fy_tot = dc.Fy_f(Ux, Uy, r, delta, Fx, p) + dc.Fy_r(
-                    Ux, Uy, r, delta, Fx, p
-                )
-                seam = [V, s, ey, beta + epsi, t, fy_tot, zero, zero]
-                tail5 = _euler_fields(
-                    z[:5], _pm_prime(z[:5], Fx, u1, kv, p), dsn
-                )
-                tail8 = tail5 + [zero, zero, zero]
-            else:  # kc
-                xdot = fm.temporal_fields(x, Fx_prev, u1_prev, 0.0, p)
-                a_final = jnp.sqrt(xdot[0] ** 2 + xdot[1] ** 2)
-                seam = [V, delta, s, ey, beta + epsi, t, a_final, u1_prev + zero]
-                clamps = {0: (0.5, 1e3), 1: (-1.0, 1.0), 3: (-8.0, 8.0), 4: (-1.2, 1.2)}
-                tail6 = _euler_fields(
-                    z[:6], _kc_prime(z[:6], Fx, u1, kv, kc_l, 0.3, 10.0, clamps), dsn
-                )
-                tail6[1] = jnp.clip(tail6[1], ct["delta_min"], ct["delta_max"])
-                tail8 = tail6 + [zero, zero]
-            m_st = n < N - 1
-            m_seam = n == N - 1
-            next8 = [
-                jnp.where(m_st, a, jnp.where(m_seam, b, c))
-                for a, b, c in zip(st_next, seam, tail8)
-            ]
+            zero = jnp.zeros_like(z[0])
+            seam = None
+            if seg is None or seam_on:
+                V = jnp.sqrt(Ux**2 + Uy**2)
+                beta = arctan(safe_div(Uy, Ux))
+                if tail == "pm":
+                    fy_tot = dc.Fy_f(Ux, Uy, r, delta, Fx, p) + dc.Fy_r(
+                        Ux, Uy, r, delta, Fx, p
+                    )
+                    seam = [V, s, ey, beta + epsi, t, fy_tot, zero, zero]
+                else:  # kc
+                    xdot = fm.temporal_fields(x, Fx_prev, u1_prev, 0.0, p)
+                    a_final = jnp.sqrt(xdot[0] ** 2 + xdot[1] ** 2)
+                    seam = [V, delta, s, ey, beta + epsi, t, a_final, u1_prev + zero]
+            tail8 = None
+            if seg is None or tail_only:
+                if tail == "pm":
+                    tail5 = _euler_fields(
+                        z[:5], _pm_prime(z[:5], Fx, u1, kv, p), dsn
+                    )
+                    tail8 = tail5 + [zero, zero, zero]
+                else:  # kc
+                    clamps = {0: (0.5, 1e3), 1: (-1.0, 1.0), 3: (-8.0, 8.0), 4: (-1.2, 1.2)}
+                    tail6 = _euler_fields(
+                        z[:6], _kc_prime(z[:6], Fx, u1, kv, kc_l, 0.3, 10.0, clamps), dsn
+                    )
+                    tail6[1] = jnp.clip(tail6[1], ct["delta_min"], ct["delta_max"])
+                    tail8 = tail6 + [zero, zero]
+            if seg is None:
+                st_next = st_branch()
+                m_st = n < N - 1
+                m_seam = n == N - 1
+                next8 = [
+                    jnp.where(m_st, a, jnp.where(m_seam, b, c))
+                    for a, b, c in zip(st_next, seam, tail8)
+                ]
+            elif seam_on:
+                next8 = seam
+            else:
+                next8 = tail8
         return tuple(next8) + (wf[NZ], wf[NZ + 1])
 
     # -- rollout clamp boxes (problems.build_cascaded_problem boxes) ----------
 
-    def u_box(n, j):
+    def u_box(n, j, seg=None):
+        st_side = None if seg is None else (seg.hi <= N)
         if j == 0:
             if tail == "kc":
+                if st_side is True:
+                    return -30.0, 60.0
+                if st_side is False:
+                    return ci["a_min"] * fs, ci["a_max"] * fs
                 lo = jnp.where(n < N, -30.0, ci["a_min"] * fs)
                 hi = jnp.where(n < N, 60.0, ci["a_max"] * fs)
                 return lo, hi
             return -30.0, 60.0
         if tail == "pm":
+            if st_side is True:
+                return ci["w_min"], ci["w_max"]
+            if st_side is False:
+                return -25.0, 25.0
             lo = jnp.where(n < N, ci["w_min"], -25.0)
             hi = jnp.where(n < N, ci["w_max"], 25.0)
             return lo, hi
@@ -408,9 +496,20 @@ def build_cascaded_family(car_config, cfg, tail, track_data) -> FMFamily:
             jz = [zero] * NZ
             return {8: (h8, jz), 9: ([zero] * (NZ + NU), jz)}
 
+    # static stage partition: cuts at every branch point of the closures
+    # above (dyn seam N-1, st/tail switch N, pm-slew/prev-unit N+1, terminal
+    # H-1), so each branch mask is constant over each segment.  tail="none"
+    # keeps segments=None — its closures are branch-free in the physics.
+    segments = None
+    if tail != "none" and N >= 1:
+        cuts = sorted({0, N - 1, N, min(N + 1, H), H - 1, H})
+        segments = tuple(
+            Seg(a, b) for a, b in zip(cuts, cuts[1:]) if b > a
+        )
+
     return FMFamily(
         NZ, NU, NC, H, al_cost, dyn, u_box, stage_cost, constraints,
-        analytic_cols,
+        analytic_cols, segments,
     )
 
 

@@ -65,6 +65,27 @@ def build_solve_kernel_fm(family, cfg):
     ]
     n_outer, n_inner = int(cfg.n_outer), int(cfg.n_inner)
     n_polish = int(cfg.n_polish)
+    early_exit = bool(getattr(cfg, "early_exit", True))
+    # static stage segments (fm_family.Seg): loop the horizon one segment at
+    # a time so stage-switched physics (cascaded st/seam/tail) specializes at
+    # trace time instead of computing every branch masked.  (None,) => the
+    # original single fori over [0, H) with the generic closures.
+    SEGS = family.segments if family.segments else (None,)
+
+    def _kw(seg):
+        return {} if seg is None else {"seg": seg}
+
+    def staged_fori(make_body, carry, reverse=False):
+        """Run ``make_body(seg)`` as a fori body over each segment in stage
+        order (or reversed).  Reverse bodies receive the loop counter ``i``
+        with ``n = H - 1 - i`` exactly like the original full-range loop."""
+        segs = tuple(reversed(SEGS)) if reverse else SEGS
+        for seg in segs:
+            lo, hi = (0, H) if seg is None else (seg.lo, seg.hi)
+            if reverse:
+                lo, hi = H - hi, H - lo
+            carry = jax.lax.fori_loop(lo, hi, make_body(seg), carry)
+        return carry
     armijo = float(cfg.armijo)
     tol_cost, tol_con = float(cfg.tol_cost), float(cfg.tol_con)
     mu0, mu_scale, mu_max = float(cfg.mu0), float(cfg.mu_scale), float(cfg.mu_max)
@@ -95,56 +116,64 @@ def build_solve_kernel_fm(family, cfg):
         ds_read = lambda i: ds_ref[0, i]
 
         # ---- init: clamp U, copy lam, warm rollout --------------------------
-        def init_body(n, c):
-            for j in range(NU):
-                lo, hi = family.u_box(n, j)
-                U_s[n, j] = jnp.clip(u0_ref[0, n, j], lo, hi)
-            for j in range(NC):
-                lam_s[n, j] = lam0_ref[0, n, j]
-            return c
+        def init_make(seg):
+            def body(n, c):
+                for j in range(NU):
+                    lo, hi = family.u_box(n, j, **_kw(seg))
+                    U_s[n, j] = jnp.clip(u0_ref[0, n, j], lo, hi)
+                for j in range(NC):
+                    lam_s[n, j] = lam0_ref[0, n, j]
+                return c
 
-        jax.lax.fori_loop(0, H, init_body, 0.0)
+            return body
 
-        def roll_body(n, z):
-            for i in range(NZ):
-                X_s[n, i] = _nan_to_num(z[i])
-            wf = z + tuple(U_s[n, j] for j in range(NU))
-            z2 = family.dyn(n, wf, curv_ref[0, n], ds_read)
-            return tuple(z2)
+        staged_fori(init_make, 0.0)
 
-        jax.lax.fori_loop(
-            0, H, roll_body, tuple(z0_ref[0, i] for i in range(NZ))
-        )
+        def roll_make(seg):
+            def body(n, z):
+                for i in range(NZ):
+                    X_s[n, i] = _nan_to_num(z[i])
+                wf = z + tuple(U_s[n, j] for j in range(NU))
+                z2 = family.dyn(n, wf, curv_ref[0, n], ds_read, **_kw(seg))
+                return tuple(z2)
+
+            return body
+
+        staged_fori(roll_make, tuple(z0_ref[0, i] for i in range(NZ)))
 
         # ---- helpers --------------------------------------------------------
 
-        def al_cost_at(n, wf, mu):
+        def al_cost_at(n, wf, mu, seg=None):
             return family.al_cost(
-                n, wf, lambda j: lam_s[n, j], mu, curv_ref[0, n], ds_read
+                n, wf, lambda j: lam_s[n, j], mu, curv_ref[0, n], ds_read,
+                **_kw(seg),
             )
 
         def total_al_cost(mu):
-            def body(n, acc):
-                wf = tuple(X_s[n, i] for i in range(NZ)) + tuple(
-                    U_s[n, j] for j in range(NU)
-                )
-                return acc + al_cost_at(n, wf, mu)
+            def make(seg):
+                def body(n, acc):
+                    wf = tuple(X_s[n, i] for i in range(NZ)) + tuple(
+                        U_s[n, j] for j in range(NU)
+                    )
+                    return acc + al_cost_at(n, wf, mu, seg)
 
-            return jax.lax.fori_loop(0, H, body, zeros)
+                return body
+
+            return staged_fori(make, zeros)
 
         def backward(mu, rho):
             """Fused in-kernel derivatives + Riccati; writes kff_s/kfb_s.
 
             Identical math to backward_kernel_fm (same family closures)."""
 
-            def stage_derivs(n):
+            def stage_derivs(n, seg):
                 kv = curv_ref[0, n]
                 lam = [lam_s[n, j] for j in range(NC)]
                 wf = tuple(X_s[n, i] for i in range(NZ)) + tuple(
                     U_s[n, j] for j in range(NU)
                 )
                 g, Hcols, Jcols = fm_family.stage_derivs_cols(
-                    family, n, wf, lam, mu, kv, ds_read
+                    family, n, wf, lam, mu, kv, ds_read, seg=seg
                 )
                 Hs = [
                     [0.5 * (Hcols[c][r] + Hcols[r][c]) for c in range(NW)]
@@ -154,12 +183,12 @@ def build_solve_kernel_fm(family, cfg):
                 Bm = [[Jcols[NZ + j][r] for j in range(NU)] for r in range(NZ)]
                 return g, Hs, Am, Bm
 
-            def body(i, carry):
+            def body(i, carry, seg):
                 n = H - 1 - i
                 Vx = list(carry[0])
                 Vxx = [list(row) for row in carry[1]]
                 dV1, dV2, fail = carry[2], carry[3], carry[4]
-                g, Hs, Am, Bm = stage_derivs(n)
+                g, Hs, Am, Bm = stage_derivs(n, seg)
                 Qx = [
                     g[r] + sum(Am[k][r] * Vx[k] for k in range(NZ))
                     for r in range(NZ)
@@ -284,47 +313,53 @@ def build_solve_kernel_fm(family, cfg):
                 zeros,
                 zeros,
             )
-            _, _, dV1, dV2, fail = jax.lax.fori_loop(0, H, body, init)
+            _, _, dV1, dV2, fail = staged_fori(
+                lambda seg: (lambda i, c: body(i, c, seg)), init, reverse=True
+            )
             return dV1, dV2, fail
 
         def linesearch_costs(mu):
             """All A candidates in one sweep; returns list of A cost tiles
             (inf where a rollout diverged)."""
 
-            def body(n, carry):
-                zs = [list(carry[a * NZ : (a + 1) * NZ]) for a in range(A)]
-                accs = list(carry[A * NZ :])
-                xref = [X_s[n, i] for i in range(NZ)]
-                uref = [U_s[n, j] for j in range(NU)]
-                kff = [kff_s[n, j] for j in range(NU)]
-                kfb = [[kfb_s[n, j, i] for i in range(NZ)] for j in range(NU)]
-                kv = curv_ref[0, n]
-                out = []
-                for a in range(A):
-                    z = zs[a]
-                    dz = [z[i] - xref[i] for i in range(NZ)]
-                    u = []
-                    for j in range(NU):
-                        fb = dz[0] * kfb[j][0]
-                        for i in range(1, NZ):
-                            fb += dz[i] * kfb[j][i]
-                        uj = uref[j] + alphas[a] * kff[j] + fb
-                        lo, hi = family.u_box(n, j)
-                        u.append(jnp.clip(uj, lo, hi))
-                    wf = tuple(z) + tuple(u)
-                    c = al_cost_at(n, wf, mu)
-                    z2 = family.dyn(n, wf, kv, ds_read)
-                    finite = ones > 0.0
-                    for f in z2:
-                        finite &= jnp.isfinite(f) & (jnp.abs(f) < 1e7)
-                    accs[a] = jnp.where(finite, accs[a] + c, jnp.inf)
-                    out.extend(z2)
-                return tuple(out) + tuple(accs)
+            def make(seg):
+                def body(n, carry):
+                    zs = [list(carry[a * NZ : (a + 1) * NZ]) for a in range(A)]
+                    accs = list(carry[A * NZ :])
+                    xref = [X_s[n, i] for i in range(NZ)]
+                    uref = [U_s[n, j] for j in range(NU)]
+                    kff = [kff_s[n, j] for j in range(NU)]
+                    kfb = [[kfb_s[n, j, i] for i in range(NZ)] for j in range(NU)]
+                    kv = curv_ref[0, n]
+                    boxes = [family.u_box(n, j, **_kw(seg)) for j in range(NU)]
+                    out = []
+                    for a in range(A):
+                        z = zs[a]
+                        dz = [z[i] - xref[i] for i in range(NZ)]
+                        u = []
+                        for j in range(NU):
+                            fb = dz[0] * kfb[j][0]
+                            for i in range(1, NZ):
+                                fb += dz[i] * kfb[j][i]
+                            uj = uref[j] + alphas[a] * kff[j] + fb
+                            lo, hi = boxes[j]
+                            u.append(jnp.clip(uj, lo, hi))
+                        wf = tuple(z) + tuple(u)
+                        c = al_cost_at(n, wf, mu, seg)
+                        z2 = family.dyn(n, wf, kv, ds_read, **_kw(seg))
+                        finite = ones > 0.0
+                        for f in z2:
+                            finite &= jnp.isfinite(f) & (jnp.abs(f) < 1e7)
+                        accs[a] = jnp.where(finite, accs[a] + c, jnp.inf)
+                        out.extend(z2)
+                    return tuple(out) + tuple(accs)
+
+                return body
 
             init = tuple(
                 z0_ref[0, i] for _ in range(A) for i in range(NZ)
             ) + tuple(zeros for _ in range(A))
-            res = jax.lax.fori_loop(0, H, body, init)
+            res = staged_fori(make, init)
             accs = res[A * NZ :]
             return [jnp.where(jnp.isfinite(a_), a_, jnp.inf) for a_ in accs]
 
@@ -339,27 +374,28 @@ def build_solve_kernel_fm(family, cfg):
             stages only read their own rows.
             """
 
-            def body(n, z):
-                dz = [z[i] - X_s[n, i] for i in range(NZ)]
-                u = []
-                for j in range(NU):
-                    fb = dz[0] * kfb_s[n, j, 0]
-                    for i in range(1, NZ):
-                        fb += dz[i] * kfb_s[n, j, i]
-                    uj = U_s[n, j] + alpha_sel * kff_s[n, j] + fb
-                    lo, hi = family.u_box(n, j)
-                    u.append(jnp.clip(uj, lo, hi))
-                wf = tuple(z) + tuple(u)
-                z2 = family.dyn(n, wf, curv_ref[0, n], ds_read)
-                for i in range(NZ):
-                    X_s[n, i] = jnp.where(upd > 0.5, z[i], X_s[n, i])
-                for j in range(NU):
-                    U_s[n, j] = jnp.where(upd > 0.5, u[j], U_s[n, j])
-                return tuple(z2)
+            def make(seg):
+                def body(n, z):
+                    dz = [z[i] - X_s[n, i] for i in range(NZ)]
+                    u = []
+                    for j in range(NU):
+                        fb = dz[0] * kfb_s[n, j, 0]
+                        for i in range(1, NZ):
+                            fb += dz[i] * kfb_s[n, j, i]
+                        uj = U_s[n, j] + alpha_sel * kff_s[n, j] + fb
+                        lo, hi = family.u_box(n, j, **_kw(seg))
+                        u.append(jnp.clip(uj, lo, hi))
+                    wf = tuple(z) + tuple(u)
+                    z2 = family.dyn(n, wf, curv_ref[0, n], ds_read, **_kw(seg))
+                    for i in range(NZ):
+                        X_s[n, i] = jnp.where(upd > 0.5, z[i], X_s[n, i])
+                    for j in range(NU):
+                        U_s[n, j] = jnp.where(upd > 0.5, u[j], U_s[n, j])
+                    return tuple(z2)
 
-            jax.lax.fori_loop(
-                0, H, body, tuple(z0_ref[0, i] for i in range(NZ))
-            )
+                return body
+
+            staged_fori(make, tuple(z0_ref[0, i] for i in range(NZ)))
 
         # ---- outer AL loop (static unroll) ----------------------------------
         n_acc = zeros
@@ -370,7 +406,7 @@ def build_solve_kernel_fm(family, cfg):
             cost_al = total_al_cost(mu)
             done = zeros
 
-            def inner_body(_it, carry):
+            def inner_body(carry):
                 cost_al, rho, done, n_acc = carry
                 dV1, dV2, bp_fail = backward(mu, rho)
                 costs = linesearch_costs(mu)
@@ -430,9 +466,36 @@ def build_solve_kernel_fm(family, cfg):
                 n_acc = n_acc + jnp.where(was_done | ~any_ok, 0.0, 1.0)
                 return (cost_al, rho, done_new, n_acc)
 
-            cost_al, rho, done, n_acc = jax.lax.fori_loop(
-                0, length, inner_body, (cost_al, rho, done, n_acc)
-            )
+            if early_exit:
+                # Iterations after every lane in the tile is done are exact
+                # no-ops (all updates are masked by was_done); skipping them
+                # is bitwise-identical and skips the dominant per-iteration
+                # work in warm steady state.
+                def cond(c):
+                    it, _, _, done, _ = c
+                    return (it < length) & (
+                        jnp.sum(done) < float(SUB * LANE)
+                    )
+
+                def wbody(c):
+                    it, cost_al, rho, done, n_acc = c
+                    cost_al, rho, done, n_acc = inner_body(
+                        (cost_al, rho, done, n_acc)
+                    )
+                    return (it + 1, cost_al, rho, done, n_acc)
+
+                _, cost_al, rho, done, n_acc = jax.lax.while_loop(
+                    cond,
+                    wbody,
+                    (jnp.asarray(0, jnp.int32), cost_al, rho, done, n_acc),
+                )
+            else:
+                cost_al, rho, done, n_acc = jax.lax.fori_loop(
+                    0,
+                    length,
+                    lambda _it, c: inner_body(c),
+                    (cost_al, rho, done, n_acc),
+                )
             return rho, n_acc
 
         for _outer in range(n_outer):
@@ -440,16 +503,21 @@ def build_solve_kernel_fm(family, cfg):
             rho, n_acc = run_inner(mu, rho, n_acc, n_inner)
 
             # multiplier update (uses this outer iteration's mu)
-            def lam_body(n, c):
-                wf = tuple(X_s[n, i] for i in range(NZ)) + tuple(
-                    U_s[n, j] for j in range(NU)
-                )
-                cons = family.constraints(n, wf)
-                for j in range(NC):
-                    lam_s[n, j] = jnp.maximum(0.0, lam_s[n, j] + mu * cons[j])
-                return c
+            def lam_make(seg):
+                def body(n, c):
+                    wf = tuple(X_s[n, i] for i in range(NZ)) + tuple(
+                        U_s[n, j] for j in range(NU)
+                    )
+                    cons = family.constraints(n, wf, **_kw(seg))
+                    for j in range(NC):
+                        lam_s[n, j] = jnp.maximum(
+                            0.0, lam_s[n, j] + mu * cons[j]
+                        )
+                    return c
 
-            jax.lax.fori_loop(0, H, lam_body, 0.0)
+                return body
+
+            staged_fori(lam_make, 0.0)
             mu_val = min(mu_val * mu_scale, mu_max)
 
         if n_polish > 0:
@@ -458,24 +526,29 @@ def build_solve_kernel_fm(family, cfg):
             rho, n_acc = run_inner(mu, rho, n_acc, n_polish)
 
         # ---- finalize: raw cost, violation, outputs -------------------------
-        def final_body(n, carry):
-            cost, viol = carry
-            wf = tuple(X_s[n, i] for i in range(NZ)) + tuple(
-                U_s[n, j] for j in range(NU)
-            )
-            cost = cost + family.stage_cost(n, wf, curv_ref[0, n], ds_read)
-            cons = family.constraints(n, wf)
-            for j in range(NC):
-                viol = jnp.maximum(viol, cons[j])
-            for i in range(NZ):
-                x_out[0, n, i] = X_s[n, i]
-            for j in range(NU):
-                u_out[0, n, j] = U_s[n, j]
-            for j in range(NC):
-                lam_out[0, n, j] = lam_s[n, j]
-            return cost, viol
+        def final_make(seg):
+            def body(n, carry):
+                cost, viol = carry
+                wf = tuple(X_s[n, i] for i in range(NZ)) + tuple(
+                    U_s[n, j] for j in range(NU)
+                )
+                cost = cost + family.stage_cost(
+                    n, wf, curv_ref[0, n], ds_read, **_kw(seg)
+                )
+                cons = family.constraints(n, wf, **_kw(seg))
+                for j in range(NC):
+                    viol = jnp.maximum(viol, cons[j])
+                for i in range(NZ):
+                    x_out[0, n, i] = X_s[n, i]
+                for j in range(NU):
+                    u_out[0, n, j] = U_s[n, j]
+                for j in range(NC):
+                    lam_out[0, n, j] = lam_s[n, j]
+                return cost, viol
 
-        cost, viol = jax.lax.fori_loop(0, H, final_body, (zeros, zeros))
+            return body
+
+        cost, viol = staged_fori(final_make, (zeros, zeros))
         viol = jnp.maximum(viol, 0.0)
         cost_out[0, 0] = cost
         viol_out[0, 0] = viol
