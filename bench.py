@@ -84,8 +84,11 @@ def build(config_name, N, dtype):
             tail = "none"
             # n_alpha=6: the 8-rung line-search ladder buys nothing at warm
             # steady state (61.0k@99.2% vs 57.5k@99.3% measured); 4 rungs is
-            # too coarse (97.2%)
-            solver = dict(n_outer=2, n_inner=6, n_alpha=6)
+            # too coarse (97.2%).  n_polish=4: chunked steady-state sweep
+            # (budget_sweep, 40 steps) — 2x6 plain 184k@96.3%, 2x6+4 polish
+            # 142k@99.8%, 3x6 128k@99.2%; polish dominates the 3-outer
+            # variants on both axes.
+            solver = dict(n_outer=2, n_inner=6, n_alpha=6, n_polish=4)
         elif config_name in ("cascaded", "cascaded_obstacles"):
             ctrl = load_config(os.path.join(root, "configs/controllers/cascaded.yaml"))
             ctrl["obstacles"] = config_name == "cascaded_obstacles"
@@ -155,7 +158,7 @@ def main():
         K = int(os.environ.get("BENCH_STEPS", 50))
     else:
         B = int(os.environ.get("BENCH_BATCH", 4096 if platform == "tpu" else 32))
-        K = int(os.environ.get("BENCH_STEPS", 5))
+        K = int(os.environ.get("BENCH_STEPS", 10))
     N = int(os.environ.get("BENCH_HORIZON", 30))
     dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16, "f64": jnp.float64}[
         os.environ.get("BENCH_DTYPE", "f32")
@@ -166,12 +169,14 @@ def main():
 
     problem, temporal, track, solver, s_index, ns = build(config_name, N, dtype)
 
-    # Pallas field-major kernels are the default hot path on TPU for the
-    # batched throughput bench; the single-scenario latency mode keeps the
-    # XLA path (a B=1 solve would pad to the 1024-lane tile).
+    # Pallas field-major kernels are the default hot path on TPU.  In
+    # latency mode a B=1 solve pads to the 1024-lane tile, but a padded tile
+    # costs the same wall time as a full one — the whole-solve kernel is
+    # still the fastest single-scenario path (BENCH_KERNEL=0 for the XLA
+    # comparison).
     use_kernels = bool(
         int(os.environ.get("BENCH_KERNEL", "1" if platform == "tpu" else "0"))
-    ) and mode != "latency"
+    )
     # whole-solve fused kernel (one launch per MPC step) — the round-2 default
     # TPU hot path; BENCH_SOLVE_KERNEL=0 falls back to the per-phase kernels
     use_solve_kernel = use_kernels and bool(
@@ -200,8 +205,8 @@ def main():
         # identical; see ALILQRConfig.early_exit).  BENCH_EARLY_EXIT=0 for A/B.
         early_exit=bool(int(os.environ.get("BENCH_EARLY_EXIT", "1"))),
     )
-    step = jax.jit(
-        make_batched_racing_step(problem, solver_cfg, temporal, track.data, 0.05, s_index)
+    step_fn = make_batched_racing_step(
+        problem, solver_cfg, temporal, track.data, 0.05, s_index
     )
 
     rng = np.random.default_rng(0)
@@ -212,21 +217,64 @@ def main():
     # on the cascaded families (see parallel.aligned_carry)
     carries = aligned_carry(problem, states, dtype)
 
-    # warmup: compile + 2 steps to reach warm-started steady state
-    carries, states, actions, infos = step(carries, states)
-    carries, states, actions, infos = step(carries, states)
-    jax.block_until_ready(states)
+    if mode == "throughput" and not bool(int(os.environ.get("BENCH_SYNC", "0"))):
+        # Sustained chunked throughput: K chained steps inside ONE jitted
+        # lax.scan, one dispatch + one block per chunk — exactly how the
+        # framework's own closed loops run (simulation/closed_loop.py,
+        # RacingSimulator chunk=25).  Per-step host sync would add the full
+        # host<->device round trip (~28 ms through this TPU tunnel — see
+        # dispatch_rtt_ms in latency mode) to every step, which no
+        # steady-state user pays; queued async dispatch through the tunnel
+        # has unreliable barrier semantics, so the scan is also the only
+        # trustworthy pipelined measurement here.  BENCH_SYNC=1 restores
+        # blocking per-step timing for A/B.
+        def chunk_body(cs, _):
+            c, s = cs
+            c2, s2, _a, info = step_fn(c, s)
+            # the plant step accumulates in f32 even for bf16 solves; cast
+            # the scan carry back so bf16 runs have a fixed carry type
+            s2 = s2.astype(s.dtype)
+            return (c2, s2), info.converged
 
-    times = []
-    for _ in range(K):
-        t0 = time.perf_counter()
+        @jax.jit
+        def chunk(c, s):
+            (c, s), conv_steps = jax.lax.scan(
+                chunk_body, (c, s), None, length=K
+            )
+            return c, s, conv_steps
+
+        carries, states, conv_steps = chunk(carries, states)
+        np.asarray(conv_steps[-1])  # compile + warm
+        reps = int(os.environ.get("BENCH_REPS", 3))
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            carries, states, conv_steps = chunk(carries, states)
+            # device->host fetch of the last step's convergence mask is the
+            # barrier: block_until_ready alone has been observed returning
+            # before the device finished on some paths through this tunnel
+            # (a 0.1 ms/step "measurement"); a value copy cannot lie.
+            conv_host = np.asarray(conv_steps[-1])
+            times.append((time.perf_counter() - t0) / K)
+        conv_last = conv_host
+    else:
+        step = jax.jit(step_fn)
+        # warmup: compile + 2 steps to reach warm-started steady state
+        carries, states, actions, infos = step(carries, states)
         carries, states, actions, infos = step(carries, states)
         jax.block_until_ready(states)
-        times.append(time.perf_counter() - t0)
+        times = []
+        for _ in range(K):
+            t0 = time.perf_counter()
+            carries, states, actions, infos = step(carries, states)
+            # host fetch as the barrier (see the scan branch's note)
+            conv_host = np.asarray(infos.converged)
+            times.append(time.perf_counter() - t0)
+        conv_last = conv_host
 
     step_ms = float(np.median(times) * 1e3)
     solves_per_s = B / np.median(times)
-    conv = float(jnp.mean(infos.converged.astype(jnp.float32)))
+    conv = float(jnp.mean(conv_last.astype(jnp.float32)))
     baseline_ms = BASELINE_MS[config_name]
     baseline_solves = 1000.0 / baseline_ms
     label = config_name if config_name != "singletrack" else f"dynamic bicycle N={N}"

@@ -17,9 +17,11 @@ run BENCH_CONFIG=cascaded BENCH_SOLVE_KERNEL=1 BENCH_BATCH=2048
 run BENCH_CONFIG=cascaded_obstacles BENCH_SOLVE_KERNEL=1 BENCH_BATCH=2048
 run BENCH_CONFIG=cascaded_kinematic BENCH_SOLVE_KERNEL=1 BENCH_BATCH=2048
 run BENCH_CONFIG=kinematic BENCH_SOLVE_KERNEL=1
-# latency mode (XLA path, parallel Riccati on/off)
-run BENCH_MODE=latency BENCH_PAR_RICCATI=1
-run BENCH_MODE=latency BENCH_PAR_RICCATI=0
+# latency mode: whole-solve kernel at B=1 (padded tile, early-exit), then
+# the XLA path with sequential / associative-scan Riccati
+run BENCH_MODE=latency
+run BENCH_MODE=latency BENCH_KERNEL=0
+run BENCH_MODE=latency BENCH_KERNEL=0 BENCH_PAR_RICCATI=1
 # bf16 finding (XLA path)
 run BENCH_DTYPE=bf16 BENCH_KERNEL=0 BENCH_BATCH=1024
 cat "$out"
