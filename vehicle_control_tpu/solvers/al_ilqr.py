@@ -100,6 +100,11 @@ class ALILQRConfig:
     unroll: int = 4  # lax.scan unroll for the per-stage sweeps: the stages
     # are tiny (10x10 blocks), so dispatch overhead dominates a rolled scan
     # on TPU; unrolling lets XLA fuse several stages per loop iteration
+    recover_viol: float = 5.0  # per-lane failure recovery threshold used by
+    # make_mpc_step: a solve whose max violation is non-finite or above this
+    # resets that lane's warm-start carry to the problem's physics-informed
+    # cold-start guess (poisoned carries otherwise zombie the lane forever;
+    # normal standing-start transients are O(0.1-1)).  0 disables.
 
 
 class Solution(NamedTuple):
