@@ -22,6 +22,9 @@ run BENCH_CONFIG=kinematic BENCH_SOLVE_KERNEL=1
 run BENCH_MODE=latency
 run BENCH_MODE=latency BENCH_KERNEL=0
 run BENCH_MODE=latency BENCH_KERNEL=0 BENCH_PAR_RICCATI=1
-# bf16 finding (XLA path)
-run BENCH_DTYPE=bf16 BENCH_KERNEL=0 BENCH_BATCH=1024
+# bf16 finding — a shape-matched pair (XLA path, same B, same budget) so the
+# dtype comparison is apples-to-apples; the Pallas kernels are f32-only, so
+# the f32 comparator here is the XLA path too, NOT the kernel headline above.
+run BENCH_DTYPE=f32 BENCH_KERNEL=0 BENCH_BATCH=4096
+run BENCH_DTYPE=bf16 BENCH_KERNEL=0 BENCH_BATCH=4096
 cat "$out"

@@ -1,9 +1,22 @@
 """Golden-fixture parity vs the reference's shipped experiment artifacts
 (SURVEY §4: 'closed-loop golden (vs reference .npy)').
 
-These tests feed the reference's recorded closed-loop states into our
-controllers (configured from the recorded config snapshots) and require the
-produced action sequences to track the reference's IPOPT solutions."""
+Two distinct claims, gated separately:
+
+* **North star** (`TestNorthStarParity`): in parity mode — solve to
+  optimality with the reference's unshifted warm start
+  (controllers.make_parity_step) — our actions must match the reference's
+  IPOPT actions to <= 1e-3 median normalized deviation (BASELINE.json).
+  Measured envelope: ~1e-7 median, so the 1e-3 gate has 4 orders of
+  magnitude of headroom.  CI runs 100-step windows that include the known
+  worst transients (race1 steps ~27-35, race3 steps ~27-29/86-91); the
+  full-lap version regenerates PARITY.json and runs under PARITY_FULL=1.
+* **Production envelope** (`TestProductionEnvelope`): the fixed-budget
+  throughput config (3x8, shifted warm start) intentionally returns a
+  near-optimal iterate each step; these gates pin how far from the
+  reference it is allowed to drift (a closed-loop-quality regression
+  tripwire, NOT the north-star metric).
+"""
 
 import os
 
@@ -13,9 +26,91 @@ from vehicle_control_tpu.simulation.analysis import action_parity, load_referenc
 
 REF_DATA = "/root/reference/experiments/data"
 
+needs_reference = pytest.mark.skipif(
+    not os.path.isdir(REF_DATA), reason="reference not mounted"
+)
 
-@pytest.mark.skipif(not os.path.isdir(REF_DATA), reason="reference not mounted")
-class TestCascadedGoldenParity:
+
+def _parity_report(track, run_dir, controller, tail, n_steps, budget=(8, 16, 8)):
+    import jax
+
+    from vehicle_control_tpu.controllers.mpc import problems
+    from vehicle_control_tpu.controllers.mpc.controllers import (
+        initial_carry,
+        make_parity_step,
+        parity_solver_config,
+    )
+    from vehicle_control_tpu.utils.config import load_config, project_root
+
+    ref = load_reference_run(os.path.join(REF_DATA, run_dir), controller)
+    carcfg = load_config(
+        os.path.join(project_root(), "configs/models/dynamic_car.yaml")
+    )
+    prob = problems.build_cascaded_problem(carcfg, track, ref.config, tail=tail)
+    step = jax.jit(make_parity_step(prob, parity_solver_config(*budget)))
+    rep = action_parity(step, initial_carry(prob), ref, n_steps=n_steps)
+    print()
+    print(rep)
+    return rep
+
+
+@needs_reference
+class TestNorthStarParity:
+    """<= 1e-3 median normalized control deviation, both channels."""
+
+    def test_cascaded_race1(self, ippodromo_track):
+        rep = _parity_report(ippodromo_track, "race1_ippodromo", "cascaded", "pm", 100)
+        assert rep.median_normalized_dev[0] <= 1e-3
+        assert rep.median_normalized_dev[1] <= 1e-3
+        # measured ~1e-7: a order-of-magnitude regression still passes the
+        # north star but should be noticed
+        assert rep.median_normalized_dev[0] <= 1e-5
+        assert rep.median_normalized_dev[1] <= 1e-5
+        # all but isolated multi-modal curve-entry steps are exact
+        # (step ~27 lands in a different local basin than IPOPT: ~1.3e-2)
+        assert rep.p99_normalized_dev[1] <= 5e-2
+
+    def test_cascaded_race3_long_tail(self, ippodromo_track):
+        """The N=20+M=35 config that was the round-2 worst case."""
+        rep = _parity_report(ippodromo_track, "race3_ippodromo", "cascaded", "pm", 100)
+        assert rep.median_normalized_dev[0] <= 1e-3
+        assert rep.median_normalized_dev[1] <= 1e-3
+        assert rep.median_normalized_dev[0] <= 1e-5
+        assert rep.median_normalized_dev[1] <= 1e-5
+        assert rep.p99_normalized_dev[1] <= 5e-2
+
+    def test_singletrack_race1(self, ippodromo_track):
+        rep = _parity_report(
+            ippodromo_track, "race1_ippodromo", "singletrack", "none", 60
+        )
+        assert rep.median_normalized_dev[0] <= 1e-3
+        assert rep.median_normalized_dev[1] <= 1e-3
+
+    @pytest.mark.skipif(
+        not int(os.environ.get("PARITY_FULL", "0")),
+        reason="full-lap parity run (~1 h): PARITY_FULL=1 to enable",
+    )
+    def test_full_lap_regenerates_parity_json(self):
+        """One command reproduces PARITY.json and asserts the 1e-3 gate
+        over ALL full laps (VERDICT r2 Next #8)."""
+        import importlib.util
+
+        from vehicle_control_tpu.utils.config import project_root
+
+        spec = importlib.util.spec_from_file_location(
+            "parity_report",
+            os.path.join(project_root(), "scripts/parity_report.py"),
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        out = mod.main()
+        assert out["all_meet_north_star"], out
+
+
+@needs_reference
+class TestProductionEnvelope:
+    """Fixed-budget production config vs the reference (see module doc)."""
+
     @pytest.fixture(scope="class")
     def report(self, ippodromo_track):
         import jax
@@ -42,13 +137,13 @@ class TestCascadedGoldenParity:
         return rep
 
     def test_typical_step_agreement(self, report):
-        # gates pinned to the measured full-lap envelope (PARITY.json:
-        # median 1.16 N / 9.6e-5 rad/s on race1) with ~4x headroom
+        # production envelope (round-2 PARITY.json, fixed budget): median
+        # 1.16 N / 9.6e-5 rad/s on race1, with ~4x headroom
         assert report.median_abs_dev[0] < 8.0  # Fx [N] of ~2500 N RMS signal
         assert report.median_abs_dev[1] < 1e-3  # w [rad/s]
 
     def test_sequence_correlation(self, report):
-        # measured full-lap: 0.960 / 0.926 (PARITY.json race1)
+        # measured full-lap fixed-budget: 0.960 / 0.926
         assert report.correlation[0] > 0.93
         assert report.correlation[1] > 0.88
 
@@ -59,8 +154,8 @@ class TestCascadedGoldenParity:
         assert report.rms_dev[1] < 0.50 * report.rms_ref[1]
 
 
-@pytest.mark.skipif(not os.path.isdir(REF_DATA), reason="reference not mounted")
-class TestSingletrackGoldenParity:
+@needs_reference
+class TestSingletrackProductionEnvelope:
     def test_actions_track_reference(self, ippodromo_track):
         import jax
 
@@ -88,16 +183,15 @@ class TestSingletrackGoldenParity:
         rep = action_parity(step, initial_carry(prob), ref, n_steps=100)
         print()
         print(rep)
-        # measured full-lap (PARITY.json): corr 0.99998 / 0.9994, median
-        # 4.36 N / 1.4e-4 rad/s — gates with generous headroom but 10-25x
-        # tighter than the round-1 0.8/0.8
+        # measured full-lap fixed-budget: corr 0.99998 / 0.9994, median
+        # 4.36 N / 1.4e-4 rad/s
         assert rep.correlation[0] > 0.995
         assert rep.correlation[1] > 0.99
         assert rep.median_abs_dev[0] < 15.0
         assert rep.median_abs_dev[1] < 1e-3
 
 
-@pytest.mark.skipif(not os.path.isdir(REF_DATA), reason="reference not mounted")
+@needs_reference
 class TestObstacleRunParity:
     """Obstacle avoidance is multi-modal (pass-left vs pass-right is a
     discrete choice), so per-step action correlation is not meaningful;

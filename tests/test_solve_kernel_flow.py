@@ -1,0 +1,193 @@
+"""Whole-solve kernel CONTROL FLOW vs the XLA solver, on CPU, by default.
+
+The 600-line Pallas solve kernel (solvers/solve_kernel_fm.py) replicates
+``al_ilqr.build_solver``'s semantics — warm rollout, Armijo ladder over the
+alpha candidates, masked accept/copy-back, LM rho schedule, early-exit,
+multiplier updates, polish.  Mosaic lowering parity is checked on hardware
+(scripts/verify_kernels_tpu.py / tests/test_kernels_tpu.py), but a
+*wrong-but-well-shaped* control-flow regression would previously ship
+silently until someone ran the script (VERDICT r2, Missing #4).
+
+This test executes the ACTUAL kernel body eagerly on CPU: the
+``_fori_loop``/``_while_loop`` indirection is swapped for plain Python
+loops, refs become numpy-backed containers, and every jnp op runs eagerly
+on concrete (8, 128) f32 tiles — the same arithmetic the kernel performs,
+minus Mosaic.  The result is compared lane-by-lane against the XLA solver
+at identical config.  Also pins the early-exit claim ("iterations after
+every lane is done are exact no-ops") by comparing early_exit=True against
+the fixed-iteration XLA path.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vehicle_control_tpu.controllers.mpc import problems
+from vehicle_control_tpu.controllers.mpc.controllers import initial_carry
+from vehicle_control_tpu.solvers import ALILQRConfig, build_solver
+from vehicle_control_tpu.solvers import solve_kernel_fm as skf
+from vehicle_control_tpu.solvers.al_ilqr import rollout
+from vehicle_control_tpu.solvers.fm_family import (
+    build_cascaded_family,
+    build_kinematic_family,
+)
+from vehicle_control_tpu.solvers.solve_kernel_fm import (
+    B_TILE,
+    LANE,
+    SUB,
+    build_solve_kernel_fm,
+)
+from vehicle_control_tpu.utils.config import load_config, project_root
+
+
+def _cfg(rel):
+    return load_config(os.path.join(project_root(), "configs", rel))
+
+
+@pytest.fixture
+def f32_mode():
+    """Run with x64 disabled so the XLA solver's scalar accumulators
+    (``jnp.zeros(())``) are f32 like the kernel's tile accumulators — the
+    TPU configuration.  Under the conftest's x64 the XLA path accumulates
+    costs in f64, and convergence-threshold decisions (rel_impr < tol_cost)
+    legitimately flip on ~f32-noise margins."""
+    jax.config.update("jax_enable_x64", False)
+    try:
+        yield
+    finally:
+        jax.config.update("jax_enable_x64", True)
+
+
+class _Ref:
+    """Numpy-backed stand-in for a Pallas VMEM ref (eager get/set)."""
+
+    def __init__(self, shape_or_arr):
+        self.a = (
+            np.zeros(shape_or_arr, np.float32)
+            if isinstance(shape_or_arr, tuple)
+            else np.asarray(shape_or_arr, np.float32).copy()
+        )
+
+    def __getitem__(self, idx):
+        return jnp.asarray(np.array(self.a[idx]))
+
+    def __setitem__(self, idx, val):
+        self.a[idx] = np.asarray(val, np.float32)
+
+
+def _eager_fori(lo, hi, body, carry):
+    for i in range(int(lo), int(hi)):
+        carry = body(i, carry)
+    return carry
+
+
+def _eager_while(cond, body, carry):
+    while bool(cond(carry)):
+        carry = body(carry)
+    return carry
+
+
+def _run_kernel_eager(run, z0, U0, lam0, curv, ds, monkeypatch):
+    """Execute run.kernel on concrete arrays; returns untiled outputs."""
+    monkeypatch.setattr(skf, "_fori_loop", _eager_fori)
+    monkeypatch.setattr(skf, "_while_loop", _eager_while)
+    d = run.dims
+    H, NZ, NU, NC = d["H"], d["NZ"], d["NU"], d["NC"]
+    f32 = jnp.float32
+    ins = [
+        _Ref(np.asarray(run.tile(jnp.asarray(a, f32), 1)))
+        for a in (z0, U0, lam0, curv, ds)
+    ]
+    out_shapes = [
+        (1, H, NZ, SUB, LANE),
+        (1, H, NU, SUB, LANE),
+        (1, H, NC, SUB, LANE),
+        (1, 1, SUB, LANE),
+        (1, 1, SUB, LANE),
+        (1, 1, SUB, LANE),
+        (1, 1, SUB, LANE),
+    ]
+    outs = [_Ref(s) for s in out_shapes]
+    scratch = [_Ref(s) for s in run.scratch_shapes]
+    run.kernel(*ins, *outs, *scratch)
+    X, U, lam, cost, viol, conv, iters = [
+        np.asarray(run.untile(jnp.asarray(o.a), B_TILE)) for o in outs
+    ]
+    return X, U, lam, cost[:, 0], viol[:, 0], conv[:, 0] > 0.5, iters[:, 0]
+
+
+def _data(prob, B, seed=0):
+    rng = np.random.default_rng(seed)
+    H, nz, nu, nc = prob.horizon, prob.nz, prob.nu, prob.nc
+    z0 = np.zeros((B, nz - 2), np.float32)
+    z0[:, 0] = 4.0 + rng.uniform(0, 6, B)
+    z0[:, 2 if prob.ns_model == 6 else 4] = rng.uniform(0, 250, B)
+    U = (rng.normal(size=(B, H, nu)) * 0.05).astype(np.float32)
+    c0 = initial_carry(prob, jnp.float32)
+    pv, zv = jax.vmap(prob.init_horizon, in_axes=(0, None, None))(
+        jnp.asarray(z0), c0.X_pred, c0.U_pred
+    )
+    lam = np.abs(rng.normal(size=(B, H, nc)) * 0.1).astype(np.float32)
+    return pv, zv, jnp.asarray(U), jnp.asarray(lam)
+
+
+def _compare(prob, fam, cfg, monkeypatch, du0_tol=2e-4):
+    pv, zv, U, lam = _data(prob, B_TILE)
+    run = build_solve_kernel_fm(fam, cfg)
+    Xk, Uk, lamk, costk, violk, convk, itersk = _run_kernel_eager(
+        run, zv, U, lam, pv.curvature, pv.ds, monkeypatch
+    )
+    solve = build_solver(prob.fns, prob.horizon, cfg, prob.u_lo, prob.u_hi)
+    ref = jax.jit(jax.vmap(solve))(pv, zv, U, lam)
+    conv_ref = np.asarray(ref.converged)
+    conv_frac_k = convk.mean()
+    conv_frac_r = conv_ref.mean()
+    # identical semantics, same backend: lane outcomes should essentially
+    # agree (tiny f32 ordering noise near Armijo ties is the only slack)
+    assert abs(conv_frac_k - conv_frac_r) <= 0.02, (conv_frac_k, conv_frac_r)
+    assert (convk == conv_ref).mean() > 0.99
+    both = convk & conv_ref
+    assert both.mean() > 0.5  # the comparison below must mean something
+    du0 = np.abs(Uk[both, 0, :] - np.asarray(ref.U)[both, 0, :])
+    rel = np.median(du0 / (1.0 + np.abs(np.asarray(ref.U)[both, 0, :])), axis=0)
+    assert np.all(rel < du0_tol), rel
+    dcost = np.abs(costk[both] - np.asarray(ref.cost)[both]) / (
+        1.0 + np.abs(np.asarray(ref.cost)[both])
+    )
+    assert np.median(dcost) < 1e-4, np.median(dcost)
+    dviol = np.abs(violk[both] - np.asarray(ref.violation)[both])
+    assert np.median(dviol) < 1e-4, np.median(dviol)
+    # iteration counters: f32 Armijo/convergence ties flip on eager-vs-jit
+    # rounding, so demand near-total within-1 agreement + majority exact
+    d_it = itersk.astype(int) - np.asarray(ref.iterations)
+    assert (np.abs(d_it) <= 1).mean() > 0.95, np.bincount(np.abs(d_it))
+    assert (d_it == 0).mean() > 0.6, (d_it == 0).mean()
+
+
+def test_kinematic_flow_matches_xla(ippodromo_track, monkeypatch, f32_mode):
+    cfg_y = dict(_cfg("controllers/kinematic.yaml"), obstacles=False)
+    cfg_y["horizon"] = 6
+    car = _cfg("models/kinematic_car.yaml")
+    prob = problems.build_kinematic_problem(
+        car, ippodromo_track, cfg_y, jnp.float32
+    )
+    fam = build_kinematic_family(car, cfg_y, ippodromo_track.data)
+    cfg = ALILQRConfig(n_outer=2, n_inner=3, n_alpha=4, n_polish=1)
+    _compare(prob, fam, cfg, monkeypatch)
+
+
+def test_cascaded_flow_matches_xla(ippodromo_track, monkeypatch, f32_mode):
+    """Covers the seam + segment-specialized staged_fori + early-exit."""
+    cfg_y = dict(_cfg("controllers/cascaded.yaml"), obstacles=False)
+    cfg_y["horizon"] = 3
+    cfg_y["horizon_pm"] = 3
+    car = _cfg("models/dynamic_car.yaml")
+    prob = problems.build_cascaded_problem(
+        car, ippodromo_track, cfg_y, "pm", jnp.float32
+    )
+    fam = build_cascaded_family(car, cfg_y, "pm", ippodromo_track.data)
+    cfg = ALILQRConfig(n_outer=2, n_inner=3, n_alpha=4, early_exit=True)
+    _compare(prob, fam, cfg, monkeypatch)

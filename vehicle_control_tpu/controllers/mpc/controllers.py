@@ -154,6 +154,52 @@ def make_mpc_step(problem: problems.MPCProblem, solver_cfg: ALILQRConfig):
     return step
 
 
+def parity_solver_config(n_outer=12, n_inner=40, n_polish=12) -> ALILQRConfig:
+    """Solve-to-optimality configuration for reference-parity measurement.
+
+    The reference solves every step to IPOPT's convergence tolerance
+    (cascaded_mpc.py:306-314); the production fixed-budget config
+    (`_solver_config`) intentionally trades optimality for throughput, which
+    leaves O(1e-3) action deviation.  This budget — large fixed iteration
+    counts with per-lane convergence freezing, tight tolerances, full f64 on
+    CPU — reproduces the reference's actions to ~1e-7 median normalized
+    deviation (see PARITY.json / scripts/parity_probe.py).  Offline use
+    only: ~1-3 s/step on CPU.
+    """
+    return ALILQRConfig(
+        n_outer=n_outer,
+        n_inner=n_inner,
+        n_polish=n_polish,
+        n_alpha=12,
+        mu_max=1e10,
+        tol_con=1e-8,
+        tol_cost=1e-12,
+        recover_viol=0.0,
+    )
+
+
+def make_parity_step(problem: problems.MPCProblem, solver_cfg=None):
+    """The parity-measurement step: like :func:`make_mpc_step` but with the
+    reference's UNSHIFTED warm start (the previous solution seeds the next
+    solve as-is, cascaded_mpc.py:316-321 — correct when every solve reaches
+    optimality; the shifted carry is better under a fixed budget but
+    perturbs the ds/curvature horizon parameters vs the reference)."""
+    from vehicle_control_tpu.solvers import build_solver
+
+    cfg = solver_cfg or parity_solver_config()
+    solve = build_solver(problem.fns, problem.horizon, cfg, problem.u_lo, problem.u_hi)
+
+    def step(carry: MPCCarry, state):
+        params, z0 = problem.init_horizon(state, carry.X_pred, carry.U_pred)
+        sol = solve(params, z0, carry.U_pred, carry.lam)
+        action = sol.U[0] * problem.u_scale[0]
+        new_carry = MPCCarry(X_pred=sol.X, U_pred=sol.U, lam=sol.lam)
+        info = MPCInfo(sol.cost, sol.violation, sol.converged, sol.iterations, sol.X)
+        return new_carry, action, info
+
+    return step
+
+
 def initial_carry(problem: problems.MPCProblem, dtype=None) -> MPCCarry:
     X0, U0 = problem.initial_prediction()
     if dtype is not None:

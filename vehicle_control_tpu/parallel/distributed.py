@@ -26,12 +26,28 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from vehicle_control_tpu.parallel.mesh import make_sharded_mpc_step
 
 
-def initialize(coordinator_address=None, num_processes=None, process_id=None):
-    """Idempotent jax.distributed.initialize (no-op on single process)."""
-    if jax.process_count() > 1:
+def initialize(
+    coordinator_address=None,
+    num_processes=None,
+    process_id=None,
+    cpu_collectives=None,
+):
+    """Idempotent jax.distributed.initialize (no-op on single process).
+
+    MUST run before any other jax API touches the backend (even
+    ``jax.process_count()`` initializes it — probing that here was the
+    round-2 bug that made this path unreachable with process_count > 1;
+    tests/test_multiprocess.py now executes it for real across 2 OS
+    processes).  ``cpu_collectives``: set to ``"gloo"`` (or ``"mpi"``) for
+    multi-process runs on the CPU backend — the DCN-emulation path; TPU
+    jobs ignore it (ICI/DCN collectives are native).
+    """
+    if jax.distributed.is_initialized():
         return  # already initialized by the launcher
     if coordinator_address is None:
         return  # single-host run
+    if cpu_collectives is not None:
+        jax.config.update("jax_cpu_collectives_implementation", cpu_collectives)
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,

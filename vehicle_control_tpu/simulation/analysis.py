@@ -43,6 +43,8 @@ class ParityReport(NamedTuple):
     rms_ref: np.ndarray  # (na,) RMS reference action magnitude
     median_abs_dev: np.ndarray  # (na,)
     correlation: np.ndarray  # (na,)
+    p99_abs_dev: np.ndarray | None = None  # (na,)
+    max_abs_dev: np.ndarray | None = None  # (na,)
 
     @property
     def median_normalized_dev(self):
@@ -54,6 +56,14 @@ class ParityReport(NamedTuple):
     @property
     def rms_normalized_dev(self):
         return self.rms_dev / np.maximum(self.rms_ref, 1e-12)
+
+    @property
+    def p99_normalized_dev(self):
+        return self.p99_abs_dev / np.maximum(self.rms_ref, 1e-12)
+
+    @property
+    def max_normalized_dev(self):
+        return self.max_abs_dev / np.maximum(self.rms_ref, 1e-12)
 
     def __str__(self):  # pragma: no cover
         lines = [f"parity over {self.n_steps} steps:"]
@@ -99,6 +109,8 @@ def action_parity(
         correlation=np.array(
             [np.corrcoef(ours[:, i], theirs[:, i])[0, 1] for i in range(ours.shape[1])]
         ),
+        p99_abs_dev=np.percentile(np.abs(dev), 99, axis=0),
+        max_abs_dev=np.abs(dev).max(axis=0),
     )
 
 

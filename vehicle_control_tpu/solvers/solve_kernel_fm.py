@@ -39,6 +39,15 @@ from vehicle_control_tpu.solvers import fm_family
 SUB, LANE = 8, 128
 B_TILE = SUB * LANE
 
+# Loop-primitive indirection: the kernel body calls these instead of
+# jax.lax.* directly so tests/test_solve_kernel_flow.py can swap in eager
+# Python loops and execute the ENTIRE kernel body on concrete CPU arrays
+# (numpy-backed fake refs) — numerically verifying the 600-line control flow
+# (Armijo ladder, accept/copy-back masks, early-exit, multiplier updates)
+# against the XLA solver without Mosaic or interpret mode.
+_fori_loop = jax.lax.fori_loop
+_while_loop = jax.lax.while_loop
+
 
 def _nan_to_num(x):
     """jnp.nan_to_num(x, nan=0, posinf=1e6, neginf=-1e6) without the
@@ -84,7 +93,7 @@ def build_solve_kernel_fm(family, cfg):
             lo, hi = (0, H) if seg is None else (seg.lo, seg.hi)
             if reverse:
                 lo, hi = H - hi, H - lo
-            carry = jax.lax.fori_loop(lo, hi, make_body(seg), carry)
+            carry = _fori_loop(lo, hi, make_body(seg), carry)
         return carry
     armijo = float(cfg.armijo)
     tol_cost, tol_con = float(cfg.tol_cost), float(cfg.tol_con)
@@ -484,13 +493,13 @@ def build_solve_kernel_fm(family, cfg):
                     )
                     return (it + 1, cost_al, rho, done, n_acc)
 
-                _, cost_al, rho, done, n_acc = jax.lax.while_loop(
+                _, cost_al, rho, done, n_acc = _while_loop(
                     cond,
                     wbody,
                     (jnp.asarray(0, jnp.int32), cost_al, rho, done, n_acc),
                 )
             else:
-                cost_al, rho, done, n_acc = jax.lax.fori_loop(
+                cost_al, rho, done, n_acc = _fori_loop(
                     0,
                     length,
                     lambda _it, c: inner_body(c),
@@ -636,4 +645,19 @@ def build_solve_kernel_fm(family, cfg):
             untile(iters, B)[:, 0].astype(jnp.int32),
         )
 
+    # Expose the raw kernel body + layout helpers for the eager control-flow
+    # test (tests/test_solve_kernel_flow.py): it builds numpy-backed fake
+    # refs with these shapes, patches _fori_loop/_while_loop with Python
+    # loops, and runs `kernel` on concrete arrays.
+    run.kernel = kernel
+    run.tile = tile
+    run.untile = untile
+    run.dims = dict(NZ=NZ, NU=NU, NC=NC, H=H)
+    run.scratch_shapes = [
+        (H, NZ, SUB, LANE),
+        (H, NU, SUB, LANE),
+        (H, NC, SUB, LANE),
+        (H, NU, SUB, LANE),
+        (H, NU, NZ, SUB, LANE),
+    ]
     return run
