@@ -50,6 +50,22 @@ RUNS = [
     ("race_obstacles_shoe", "shoe", ["cascaded", "singletrack"], True),
     ("cascaded_obstacles1_ippodromo", "ippodromo", ["cascaded"], True),
     ("cascaded_obstacles2_ippodromo", "ippodromo", ["cascaded"], True),
+    ("cascaded_obstacles_shoe", "shoe", ["cascaded"], True),
+    ("singletrack_obstacles_shoe", "shoe", ["singletrack"], True),
+    # Giant-obstacle stress runs.  The reference's run dirs store only the
+    # controller config; the obstacle layout was reconstructed from the
+    # commented-out giant entry in config/environment/ippodromo.yaml
+    # ("# - [30, 0, 5]") and the recorded trajectories' avoidance bulges:
+    # run1 detours to ey=-5.87 around s=30 (single r=5 giant at [30, 0]),
+    # runs 2-3 detour to |ey|~5.4-5.8 around s=180 (same giant moved to
+    # [180, 0]; run3's snapshot lowers the obstacle weight 50 -> 10 and
+    # passes on the opposite side, 1.3 s slower).
+    ("cascaded_giantObstacle1_ippodromo", "ippodromo", ["cascaded"], True,
+     [[30.0, 0.0, 5.0]]),
+    ("cascaded_giantObstacle2_ippodromo", "ippodromo", ["cascaded"], True,
+     [[180.0, 0.0, 5.0]]),
+    ("cascaded_giantObstacle3_ippodromo", "ippodromo", ["cascaded"], True,
+     [[180.0, 0.0, 5.0]]),
     ("cascaded_slip_angle_ippodromo", "ippodromo", ["cascaded"], False),
     ("cascaded_slip_angle2_ippodromo", "ippodromo", ["cascaded"], False),
     ("singletrack_slip_angle_ippodromo", "ippodromo", ["singletrack"], False),
@@ -63,7 +79,8 @@ def ref_config(run, controller):
         return ConfigDict(yaml.safe_load(fh))
 
 
-def regenerate(run, track_name, controllers, obstacles, max_steps=2500):
+def regenerate(run, track_name, controllers, obstacles, obstacle_data=None,
+               max_steps=2500):
     overrides = {}
     for c in controllers:
         cfg = ref_config(run, c)
@@ -87,6 +104,8 @@ def regenerate(run, track_name, controllers, obstacles, max_steps=2500):
     trackconfig = load_config(
         os.path.join(project_root(), f"configs/environment/{track_name}.yaml")
     )
+    if obstacle_data is not None:
+        trackconfig["obstacle_data"] = obstacle_data
     sim = RacingSimulator(simconfig, carconfig, trackconfig)
     sim.run(max_steps=max_steps)
     sim.save()
@@ -105,12 +124,14 @@ def regenerate(run, track_name, controllers, obstacles, max_steps=2500):
 
 def main():
     filt = sys.argv[1] if len(sys.argv) > 1 else ""
-    for run, track, controllers, obstacles in RUNS:
+    for entry in RUNS:
+        run, track, controllers, obstacles = entry[:4]
+        obstacle_data = entry[4] if len(entry) > 4 else None
         if filt and filt not in run:
             continue
         print(f"== {run}")
         try:
-            regenerate(run, track, controllers, obstacles)
+            regenerate(run, track, controllers, obstacles, obstacle_data)
         except Exception as e:  # keep the matrix going; report at the end
             print(f"  FAILED: {e!r}")
 

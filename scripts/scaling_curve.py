@@ -1,20 +1,28 @@
-"""Scenario-sharding scaling curve on a device mesh.
+"""Weak-scaling curve for the scenario-sharded MPC fleet.
 
-Measures batched closed-loop MPC throughput as the scenario axis is sharded
-over 1/2/4/8 mesh devices (parallel.make_sharded_mpc_step), plus the
-unsharded single-device vmap baseline, and writes ``SCALING.json``.
+Measures the FLAGSHIP cascaded configuration (N=20 single-track + M=40
+point-mass stages, the reference's cascaded.yaml) driven closed-loop for
+``SCALE_STEPS`` steps with a FIXED per-device scenario batch while the mesh
+grows 1 -> 2 -> 4 -> 8 devices (parallel.make_sharded_mpc_step).  Reports
+per-device and total solves/s per mesh size, plus a fixed-total-batch
+sharding-overhead check (sharded-over-n vs unsharded-vmap on the same total
+work).
 
-On real multi-chip hardware the curve measures actual scaling (the scenario
-axis has zero cross-chip traffic except the FleetStats psum, so it should be
-embarrassingly linear).  On this environment only a *virtual* CPU mesh is
-available (8 XLA host devices time-sharing the same cores), so absolute
-speedup is physically impossible; the meaningful quantity — recorded as
-``efficiency`` — is sharding overhead: time(1 device, B) / time(n devices,
-B) at fixed total batch, which is ~1.0 iff the sharded program adds no
-communication/partitioning cost on top of the same total work.
+Interpretation notes written into SCALING.json:
+
+* On real multi-chip hardware, the scenario axis has zero cross-chip
+  traffic except the FleetStats psum, so per-device solves/s should be
+  ~flat (weak-scaling efficiency ~1.0) — run this same script there.
+* On THIS environment only a virtual CPU mesh exists (``host_cores``
+  physical cores time-share all devices), so past n = host_cores the ideal
+  per-device rate itself falls as host_cores/n; ``weak_efficiency_vs_core_
+  limit`` divides that out.  The directly meaningful quantity on the
+  virtual mesh is ``sharding_overhead``: identical total work, sharded vs
+  unsharded — ~1.0 iff partitioning + collectives add nothing.
 
 Run:  python scripts/scaling_curve.py          (CPU virtual mesh)
-Knobs: SCALE_BATCH (total scenarios), SCALE_HORIZON, SCALE_STEPS.
+Knobs: SCALE_BATCH_PER_DEV (default 8), SCALE_STEPS (default 20),
+SCALE_DEVICES (mesh max, default 8), SCALE_N (default 20), SCALE_M (40).
 """
 
 import json
@@ -53,83 +61,123 @@ from vehicle_control_tpu.solvers import ALILQRConfig
 from vehicle_control_tpu.utils.config import load_config, project_root
 
 
-def main():
-    B = int(os.environ.get("SCALE_BATCH", "64"))
-    N = int(os.environ.get("SCALE_HORIZON", "12"))
-    K = int(os.environ.get("SCALE_STEPS", "3"))
-    root = project_root()
-    track = Track(load_config(os.path.join(root, "configs/environment/ippodromo.yaml")))
-    car = load_config(os.path.join(root, "configs/models/dynamic_car.yaml"))
-    ctrl = load_config(os.path.join(root, "configs/controllers/singletrack.yaml"))
-    ctrl["obstacles"] = False
-    ctrl["horizon"] = N
-    prob = problems.build_cascaded_problem(car, track, ctrl, "none", jnp.float32)
-    p = dc.DynamicCarParams.from_config(car)
-    temporal, _ = dc.make_transitions(p)
-    scfg = ALILQRConfig(n_outer=2, n_inner=6)
-
-    rng = np.random.default_rng(0)
+def _scenarios(track, B, seed=0):
+    rng = np.random.default_rng(seed)
     st = np.zeros((B, 8), np.float64)
     st[:, 0] = 6.0 + rng.uniform(0, 8, B)
     st[:, 4] = rng.uniform(0, float(track.length), B)
-    states0 = jnp.asarray(st, jnp.float32)
+    return jnp.asarray(st, jnp.float32)
 
-    def bench(step_fn):
-        carries = aligned_carry(prob, states0)
-        states = states0
-        out = step_fn(carries, states)
-        jax.block_until_ready(out[1])
-        carries, states = out[0], out[1]
-        times = []
-        for _ in range(K):
-            t0 = time.perf_counter()
-            out = step_fn(carries, states)
-            jax.block_until_ready(out[1])
-            carries, states = out[0], out[1]
-            times.append(time.perf_counter() - t0)
-        return B / float(np.median(times))
 
-    # unsharded single-device vmap baseline
-    base_step = jax.jit(
-        make_batched_racing_step(prob, scfg, temporal, track.data, 0.05, 4)
-    )
-    base = bench(lambda c, s: base_step(c, s))
+def _drive(step, prob, states0, K):
+    """Closed-loop K steps; returns wall seconds (post-warmup)."""
+    carries = aligned_carry(prob, states0)
+    states = states0
+    # warmup: compile + 2 steps to reach warm-start steady state
+    for _ in range(2):
+        carries, states, actions, stats = step(carries, states)
+    jax.block_until_ready(actions)
+    t0 = time.time()
+    for _ in range(K):
+        carries, states, actions, stats = step(carries, states)
+    jax.block_until_ready(actions)
+    return time.time() - t0
 
-    devices = []
-    solves = []
-    n_avail = len(jax.devices())
-    for n in (1, 2, 4, 8):
-        if n > n_avail:
-            break
+
+def main():
+    B_dev = int(os.environ.get("SCALE_BATCH_PER_DEV", "8"))
+    K = int(os.environ.get("SCALE_STEPS", "20"))
+    root = project_root()
+    track = Track(load_config(os.path.join(root, "configs/environment/ippodromo.yaml")))
+    car = load_config(os.path.join(root, "configs/models/dynamic_car.yaml"))
+    ctrl = load_config(os.path.join(root, "configs/controllers/cascaded.yaml"))
+    ctrl["obstacles"] = False
+    ctrl["horizon"] = int(os.environ.get("SCALE_N", "20"))
+    ctrl["horizon_pm"] = int(os.environ.get("SCALE_M", "40"))
+    prob = problems.build_cascaded_problem(car, track, ctrl, "pm", jnp.float32)
+    p = dc.DynamicCarParams.from_config(car)
+    temporal, _ = dc.make_transitions(p)
+    scfg = ALILQRConfig(n_outer=2, n_inner=6)
+    dt = float(car["dt"])
+    cores = os.cpu_count()
+
+    mesh_sizes = [n for n in (1, 2, 4, 8) if n <= N_DEV]
+
+    # ---- weak scaling: fixed per-device batch ------------------------------
+    weak = []
+    for n in mesh_sizes:
+        B = n * B_dev
         mesh = scenario_mesh(n)
         step = make_sharded_mpc_step(
-            prob, scfg, temporal, track.data, 0.05, 4, mesh
+            prob, scfg, temporal, track.data, dt, 4, mesh
         )
-        devices.append(n)
-        solves.append(bench(lambda c, s: step(c, s)))
+        secs = _drive(step, prob, _scenarios(track, B), K)
+        total = B * K / secs
+        weak.append(
+            {
+                "devices": n,
+                "batch_per_device": B_dev,
+                "global_batch": B,
+                "steps": K,
+                "wall_s": round(secs, 3),
+                "solves_per_s_total": round(total, 1),
+                "solves_per_s_per_device": round(total / n, 1),
+            }
+        )
+        print(json.dumps(weak[-1]))
+    base = weak[0]["solves_per_s_per_device"]
+    for row in weak:
+        n = row["devices"]
+        core_limit = min(1.0, cores / n) if cores else 1.0
+        row["weak_efficiency"] = round(row["solves_per_s_per_device"] / base, 3)
+        row["weak_efficiency_vs_core_limit"] = round(
+            row["solves_per_s_per_device"] / (base * core_limit), 3
+        )
 
-    efficiency = [s / base for s in solves]
-    out = {
-        "platform": jax.devices()[0].platform,
-        "batch_total": B,
-        "horizon": N,
-        "unsharded_solves_per_s": round(base, 1),
-        "devices": devices,
-        "sharded_solves_per_s": [round(s, 1) for s in solves],
-        "efficiency_vs_unsharded": [round(e, 3) for e in efficiency],
-        "note": (
-            "virtual CPU mesh time-shares physical cores, so efficiency "
-            "measures sharding overhead at fixed total batch (1.0 = none), "
-            "not multi-chip speedup; on real multi-chip hardware the same "
-            "harness measures the true scaling curve"
-            if jax.devices()[0].platform == "cpu"
-            else "real device mesh"
-        ),
+    # ---- sharding overhead: fixed TOTAL work, sharded vs unsharded ---------
+    B_total = max(mesh_sizes) * B_dev
+    batched = jax.jit(
+        make_batched_racing_step(prob, scfg, temporal, track.data, dt, 4)
+    )
+    t_unsharded = _drive(batched, prob, _scenarios(track, B_total), K)
+    mesh = scenario_mesh(max(mesh_sizes))
+    sharded = make_sharded_mpc_step(prob, scfg, temporal, track.data, dt, 4, mesh)
+    t_sharded = _drive(sharded, prob, _scenarios(track, B_total), K)
+    overhead = {
+        "global_batch": B_total,
+        "devices": max(mesh_sizes),
+        "wall_s_unsharded_vmap": round(t_unsharded, 3),
+        "wall_s_sharded": round(t_sharded, 3),
+        "sharding_overhead": round(t_sharded / t_unsharded, 3),
     }
-    path = os.path.join(root, "SCALING.json")
-    with open(path, "w") as fh:
+    print(json.dumps(overhead))
+
+    out = {
+        "metric": "weak scaling, flagship cascaded MPC closed loop",
+        "config": {
+            "N": ctrl["horizon"],
+            "M": ctrl["horizon_pm"],
+            "budget": "2x6",
+            "dtype": "f32",
+            "steps": K,
+        },
+        "platform": jax.default_backend(),
+        "host_cores": cores,
+        "virtual_mesh": jax.default_backend() == "cpu",
+        "interpretation": (
+            "weak_efficiency_vs_core_limit divides out the physical-core "
+            "time-sharing of the virtual CPU mesh (ideal 1.0); on real "
+            "multi-chip hardware read weak_efficiency directly (ideal 1.0: "
+            "the scenario axis is communication-free except the FleetStats "
+            "psum). sharding_overhead compares identical total work sharded "
+            "vs unsharded-vmap (ideal 1.0)."
+        ),
+        "weak_scaling": weak,
+        "fixed_work_overhead": overhead,
+    }
+    with open(os.path.join(root, "SCALING.json"), "w") as fh:
         json.dump(out, fh, indent=1)
-    print(json.dumps(out))
+    print(json.dumps({"written": "SCALING.json"}))
 
 
 if __name__ == "__main__":

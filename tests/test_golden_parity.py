@@ -220,3 +220,59 @@ class TestObstacleRunParity:
         for o in ippodromo_track.obstacles:
             d = np.sqrt((ours[:, 4] - o.s) ** 2 + (ours[:, 5] - o.ey) ** 2).min()
             assert d > o.radius
+
+    DATA = os.path.join(os.path.dirname(OURS))
+
+    @pytest.mark.parametrize(
+        "run,giant",
+        [
+            ("cascaded_giantObstacle1_ippodromo", (30.0, 0.0, 5.0)),
+            ("cascaded_giantObstacle2_ippodromo", (180.0, 0.0, 5.0)),
+            ("cascaded_giantObstacle3_ippodromo", (180.0, 0.0, 5.0)),
+        ],
+    )
+    def test_giant_obstacle_runs(self, run, giant):
+        """The giant-obstacle stress runs (radius-5 disc spanning the whole
+        road; layout reconstructed from the reference's commented-out
+        ippodromo entry + trajectory bulges — see scripts/make_run_matrix).
+        Gate: completes the lap within 10% of the reference laptime and
+        genuinely clears the giant."""
+        import numpy as np
+
+        ours_dir = os.path.join(self.DATA, run)
+        if not os.path.isdir(ours_dir):
+            pytest.skip(f"{run} not regenerated")
+        ours = np.load(os.path.join(ours_dir, "cascaded_state_traj.npy"))
+        ref = np.load(os.path.join(REF_DATA, run, "cascaded_state_traj.npy"))
+        assert np.isfinite(ours).all()
+        assert float(ours[-1, 7]) < 1.10 * float(ref[-1, 7])
+        s0, ey0, r = giant
+        d = np.sqrt((ours[:, 4] - s0) ** 2 + (ours[:, 5] - ey0) ** 2).min()
+        assert d > r
+
+    @pytest.mark.parametrize(
+        "run,controller",
+        [
+            ("cascaded_obstacles_shoe", "cascaded"),
+            ("singletrack_obstacles_shoe", "singletrack"),
+        ],
+    )
+    def test_obstacles_shoe_runs(self, run, controller):
+        import numpy as np
+        import yaml
+
+        from vehicle_control_tpu.utils.config import load_config, project_root
+
+        ours_dir = os.path.join(self.DATA, run)
+        if not os.path.isdir(ours_dir):
+            pytest.skip(f"{run} not regenerated")
+        ours = np.load(os.path.join(ours_dir, f"{controller}_state_traj.npy"))
+        ref = np.load(os.path.join(REF_DATA, run, f"{controller}_state_traj.npy"))
+        assert np.isfinite(ours).all()
+        assert float(ours[-1, 7]) < 1.10 * float(ref[-1, 7])
+        shoe = load_config(
+            os.path.join(project_root(), "configs/environment/shoe.yaml")
+        )
+        for s0, ey0, r in shoe["obstacle_data"]:
+            d = np.sqrt((ours[:, 4] - s0) ** 2 + (ours[:, 5] - ey0) ** 2).min()
+            assert d > r, (s0, ey0, r, d)

@@ -192,6 +192,28 @@ def _slip_penalty(x, Fx, p, w_slip):
     return w_slip * (pen_f + pen_r)
 
 
+def _mask_stage0_state_rows(n, c):
+    """Disable the state-ONLY constraint rows (0: speed floor, 1-2: the
+    steering box) at stage 0.
+
+    Stage 0's state is the measured plant state — fixed, not a decision
+    variable — and the plant (like the reference's, racing_car.py:34-46)
+    integrates steering without a hard stop, so after an aggressive step it
+    can sit O(1e-3) beyond delta_max.  A constraint on z0 alone is then
+    *undecidable*: it has zero gradient w.r.t. every control, no iterate can
+    reduce it, and it only poisons the convergence flag (measured: ALL of
+    the kinematic fleet's steady-state non-converged lanes were stage-0
+    delta/epsilon overshoots, solver residual exactly delta0 - delta_max).
+    Rows that involve controls at stage 0 (engine power, steer rate,
+    friction circle) stay active.  Mirrored in the fm_family closures.
+    """
+    keep = jnp.asarray(n != 0)
+    rows = [c[..., i] for i in range(c.shape[-1])]
+    for i in range(3):
+        rows[i] = jnp.where(keep, rows[i], -1.0)
+    return jnp.stack(rows, axis=-1)
+
+
 def _st_constraints(x, Fx, w_act, p, cons_in, cons_st):
     """Single-track stage constraints c <= 0 (reference: cascaded_mpc.py:91-128).
 
@@ -553,6 +575,7 @@ def build_cascaded_problem(
         u_phys = u * u_scale_at(n)
         x = z[..., :8]
         c_st = _st_constraints(x, u_phys[..., 0], u_phys[..., 1], p, cons_in, cons_st)
+        c_st = _mask_stage0_state_rows(n, c_st)
         if tail == "none":
             return c_st
         fs = 1.0 / FORCE_SCALE
@@ -764,6 +787,7 @@ def build_kinematic_problem(
             + [pad] * 3,
             axis=-1,
         )
+        c = _mask_stage0_state_rows(n, c)
         inactive = jnp.full_like(c, -1.0)
         return jnp.where(m_dyn(n), c, inactive)
 

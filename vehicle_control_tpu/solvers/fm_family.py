@@ -352,11 +352,23 @@ def build_cascaded_family(car_config, cfg, tail, track_data) -> FMFamily:
 
     # -- constraints + AL penalty -------------------------------------------
 
+    def _mask_stage0(n, c):
+        # state-only rows (speed floor + steering box) are undecidable at
+        # the fixed stage-0 state; see problems._mask_stage0_state_rows
+        keep = n != 0
+        return [
+            jnp.where(keep, ci_, -1.0) if i < 3 else ci_
+            for i, ci_ in enumerate(c)
+        ]
+
     def constraints(n, wf, seg=None):
         z, Fx, u1, _, _ = split(n, wf, seg)
         st_on = None if seg is None else (seg.hi <= N)
         if tail == "none" or st_on is True:
-            return fm.constraint_fields(z[:8], Fx, u1, p, ci, cs)
+            c = fm.constraint_fields(z[:8], Fx, u1, p, ci, cs)
+            if seg is not None and seg.lo > 0:
+                return c  # segment never contains stage 0
+            return _mask_stage0(n, c)
         neg1 = jnp.full_like(z[0], -1.0)
         if tail == "pm":
             V = z[0]
@@ -377,7 +389,7 @@ def build_cascaded_family(car_config, cfg, tail, track_data) -> FMFamily:
             ] + [neg1] * 3
         if st_on is False:
             return c_tail
-        c_st = fm.constraint_fields(z[:8], Fx, u1, p, ci, cs)
+        c_st = _mask_stage0(n, fm.constraint_fields(z[:8], Fx, u1, p, ci, cs))
         m = n < N
         return [jnp.where(m, a, b) for a, b in zip(c_st, c_tail)]
 
@@ -558,6 +570,12 @@ def build_kinematic_family(car_config, cfg, track_data) -> FMFamily:
             u[1] - ci["w_max"],
             ci["w_min"] - u[1],
         ] + [neg1] * 3
+        # state-only rows (0-2) are undecidable at the fixed stage-0 state;
+        # see problems._mask_stage0_state_rows
+        c = [
+            jnp.where(n != 0, ci_, -1.0) if i < 3 else ci_
+            for i, ci_ in enumerate(c)
+        ]
         m = n < N
         return [jnp.where(m, ci_, -jnp.ones_like(v)) for ci_ in c]
 
