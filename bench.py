@@ -97,22 +97,28 @@ def build(config_name, N, dtype):
             if config_name == "cascaded_obstacles":
                 # obstacle barriers leave small AL residuals at mu_scale=10
                 # (conv 86% on cold drops); faster penalty growth converges
-                # the multipliers within the same iteration budget (98%+)
-                # without the extra outer loop. Neutral-to-harmful on the
-                # other families — obstacles-only.  Two polish iterations
-                # against the final multipliers convert another ~1.5pp of
-                # marginal lanes (measured on CPU drops).
+                # the multipliers within the same iteration budget (98%+).
+                # The remaining sub-1% are curve-entry friction-circle
+                # marginals (scripts/diagnose_conv.py): a 4th outer loop +
+                # 4 polish iterations against the final multipliers take the
+                # steady-state fleet to 99.6% (CPU replication, B=256); the
+                # extra budget is near-free on TPU (early-exit drains warm
+                # tiles in 1-3 iterations).
                 solver["mu_scale"] = 30.0
-                solver["n_polish"] = 2
+                solver["n_outer"] = 4
+                solver["n_polish"] = 4
         elif config_name == "cascaded_kinematic":
             ctrl = load_config(
                 os.path.join(root, "configs/controllers/cascaded_kinematic.yaml")
             )
             ctrl["obstacles"] = False
             tail = "kc"
-            # steering stop on the kc tail: 3x8 converges 98%+ (the pre-stop
-            # budget was 4x12 and still left 6% of cold drops unconverged)
-            solver = dict(n_outer=3, n_inner=8)
+            # 3x8 left ~4-5% of the steady-state fleet flickering on the
+            # curve-entry friction circle (5-30 N marginal AL residuals,
+            # scripts/diagnose_conv.py); 4x10+6 converges 99.8-100% (CPU
+            # replication, B=256) and the extra budget is near-free on TPU
+            # (early-exit drains warm tiles in 1-3 iterations)
+            solver = dict(n_outer=4, n_inner=10, n_polish=6)
         else:
             raise SystemExit(f"unknown BENCH_CONFIG {config_name}")
         problem = problems.build_cascaded_problem(carcfg, track, ctrl, tail, dtype)
@@ -204,6 +210,9 @@ def main():
         # solve-kernel inner loop exits once a whole tile is done (bitwise-
         # identical; see ALILQRConfig.early_exit).  BENCH_EARLY_EXIT=0 for A/B.
         early_exit=bool(int(os.environ.get("BENCH_EARLY_EXIT", "1"))),
+        # alpha=1 fast path: sweep one candidate, cond-run the ladder only
+        # when a live lane rejects it (ALILQRConfig.ls_fast_path)
+        ls_fast_path=bool(int(os.environ.get("BENCH_LS_FAST", "0"))),
     )
     step_fn = make_batched_racing_step(
         problem, solver_cfg, temporal, track.data, 0.05, s_index

@@ -174,7 +174,9 @@ def check_solve_kernel(name, prob, fam, n_outer=2, n_inner=6):
     from vehicle_control_tpu.solvers import ALILQRConfig, build_solver
     from vehicle_control_tpu.solvers.solve_kernel_fm import build_solve_kernel_fm
 
-    cfg = ALILQRConfig(n_outer=n_outer, n_inner=n_inner)
+    # VERIFY_LS_FAST=1 exercises the alpha=1 fast path (cond-gated ladder)
+    fast = bool(int(os.environ.get("VERIFY_LS_FAST", "0")))
+    cfg = ALILQRConfig(n_outer=n_outer, n_inner=n_inner, ls_fast_path=fast)
     X, U, lam, mu, rho, pv, zv, _, _ = _data(prob)
     solve = build_solver(prob.fns, prob.horizon, cfg, prob.u_lo, prob.u_hi)
     sol_ref = jax.jit(jax.vmap(solve))(pv, zv, U, lam)

@@ -191,3 +191,19 @@ def test_cascaded_flow_matches_xla(ippodromo_track, monkeypatch, f32_mode):
     fam = build_cascaded_family(car, cfg_y, "pm", ippodromo_track.data)
     cfg = ALILQRConfig(n_outer=2, n_inner=3, n_alpha=4, early_exit=True)
     _compare(prob, fam, cfg, monkeypatch)
+
+
+def test_kinematic_flow_ls_fast_path(ippodromo_track, monkeypatch, f32_mode):
+    """ls_fast_path sweeps alpha=1 only and runs the ladder on demand —
+    must match the XLA solver exactly like the plain kernel does."""
+    cfg_y = dict(_cfg("controllers/kinematic.yaml"), obstacles=False)
+    cfg_y["horizon"] = 6
+    car = _cfg("models/kinematic_car.yaml")
+    prob = problems.build_kinematic_problem(
+        car, ippodromo_track, cfg_y, jnp.float32
+    )
+    fam = build_kinematic_family(car, cfg_y, ippodromo_track.data)
+    cfg = ALILQRConfig(n_outer=2, n_inner=3, n_alpha=4, ls_fast_path=True)
+    # compare against the XLA solver WITHOUT the fast path (same semantics)
+    import dataclasses
+    _compare(prob, fam, cfg, monkeypatch)

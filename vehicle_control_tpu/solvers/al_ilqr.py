@@ -92,6 +92,11 @@ class ALILQRConfig:
     use_solve_kernel: bool = False  # ONE Pallas kernel for the entire solve
     # (warm rollout + all AL/iLQR iterations + multiplier updates in VMEM);
     # supersedes the per-phase kernels on the batched TPU throughput path
+    ls_fast_path: bool = False  # solve kernel only: sweep ONLY alpha=1 and
+    # run the remaining line-search ladder iff some live lane rejected it
+    # (lax.cond on a tile-wide reduction).  Bitwise-identical (skipped
+    # candidates' costs are never read); saves ~(A-1)/A of the line-search
+    # work per iteration in warm steady state
     early_exit: bool = True  # solve kernel only: stop the inner loop once
     # every lane in the 1024-scenario tile is done.  Iterations past that
     # point are exact no-ops (all updates masked by was_done), so the early

@@ -75,6 +75,7 @@ def build_solve_kernel_fm(family, cfg):
     n_outer, n_inner = int(cfg.n_outer), int(cfg.n_inner)
     n_polish = int(cfg.n_polish)
     early_exit = bool(getattr(cfg, "early_exit", True))
+    ls_fast_path = bool(getattr(cfg, "ls_fast_path", False))
     # static stage segments (fm_family.Seg): loop the horizon one segment at
     # a time so stage-switched physics (cascaded st/seam/tail) specializes at
     # trace time instead of computing every branch masked.  (None,) => the
@@ -327,14 +328,17 @@ def build_solve_kernel_fm(family, cfg):
             )
             return dV1, dV2, fail
 
-        def linesearch_costs(mu):
-            """All A candidates in one sweep; returns list of A cost tiles
-            (inf where a rollout diverged)."""
+        def linesearch_costs(mu, alpha_list=None):
+            """Candidate rollouts in one sweep over ``alpha_list`` (default
+            the full ladder); returns one cost tile per candidate (inf where
+            a rollout diverged)."""
+            als = alphas if alpha_list is None else alpha_list
+            nA = len(als)
 
             def make(seg):
                 def body(n, carry):
-                    zs = [list(carry[a * NZ : (a + 1) * NZ]) for a in range(A)]
-                    accs = list(carry[A * NZ :])
+                    zs = [list(carry[a * NZ : (a + 1) * NZ]) for a in range(nA)]
+                    accs = list(carry[nA * NZ :])
                     xref = [X_s[n, i] for i in range(NZ)]
                     uref = [U_s[n, j] for j in range(NU)]
                     kff = [kff_s[n, j] for j in range(NU)]
@@ -342,7 +346,7 @@ def build_solve_kernel_fm(family, cfg):
                     kv = curv_ref[0, n]
                     boxes = [family.u_box(n, j, **_kw(seg)) for j in range(NU)]
                     out = []
-                    for a in range(A):
+                    for a in range(nA):
                         z = zs[a]
                         dz = [z[i] - xref[i] for i in range(NZ)]
                         u = []
@@ -350,7 +354,7 @@ def build_solve_kernel_fm(family, cfg):
                             fb = dz[0] * kfb[j][0]
                             for i in range(1, NZ):
                                 fb += dz[i] * kfb[j][i]
-                            uj = uref[j] + alphas[a] * kff[j] + fb
+                            uj = uref[j] + als[a] * kff[j] + fb
                             lo, hi = boxes[j]
                             u.append(jnp.clip(uj, lo, hi))
                         wf = tuple(z) + tuple(u)
@@ -366,10 +370,10 @@ def build_solve_kernel_fm(family, cfg):
                 return body
 
             init = tuple(
-                z0_ref[0, i] for _ in range(A) for i in range(NZ)
-            ) + tuple(zeros for _ in range(A))
+                z0_ref[0, i] for _ in range(nA) for i in range(NZ)
+            ) + tuple(zeros for _ in range(nA))
             res = staged_fori(make, init)
-            accs = res[A * NZ :]
+            accs = res[nA * NZ :]
             return [jnp.where(jnp.isfinite(a_), a_, jnp.inf) for a_ in accs]
 
         def reroll_accept(alpha_sel, upd):
@@ -415,29 +419,58 @@ def build_solve_kernel_fm(family, cfg):
             cost_al = total_al_cost(mu)
             done = zeros
 
+            def _armijo_ok(al, cost_a, cost_al, dV1, dV2, bp_fail):
+                expected = -(al * dV1 + al * al * dV2)
+                improvement = cost_al - cost_a
+                model_sane = expected <= jnp.abs(cost_al) + 1.0
+                ok = (~model_sane) | (
+                    improvement > armijo * jnp.maximum(expected, 0.0)
+                )
+                return (
+                    ok
+                    & jnp.isfinite(cost_a)
+                    & (improvement > 0.0)
+                    & (bp_fail < 0.5)
+                )
+
             def inner_body(carry):
                 cost_al, rho, done, n_acc = carry
                 dV1, dV2, bp_fail = backward(mu, rho)
-                costs = linesearch_costs(mu)
+                if ls_fast_path and A > 1:
+                    # Warm steady state accepts the full Newton step almost
+                    # always; sweep ONLY alpha=1 first and run the remaining
+                    # ladder iff some live lane rejected it.  When the ladder
+                    # is skipped, no live lane could have selected a smaller
+                    # alpha (its costs are never read), so the skip is
+                    # bitwise-identical — the early-exit argument applied
+                    # within one iteration.
+                    cost0 = linesearch_costs(mu, alphas[:1])[0]
+                    ok0 = _armijo_ok(
+                        alphas[0], cost0, cost_al, dV1, dV2, bp_fail
+                    )
+                    need = (
+                        jnp.sum(((~ok0) & (done < 0.5)).astype(jnp.float32))
+                        > 0.0
+                    )
+                    rest = jax.lax.cond(
+                        need,
+                        lambda: tuple(linesearch_costs(mu, alphas[1:])),
+                        lambda: tuple(
+                            jnp.full((SUB, LANE), jnp.inf, jnp.float32)
+                            for _ in alphas[1:]
+                        ),
+                    )
+                    costs = [cost0, *rest]
+                else:
+                    costs = linesearch_costs(mu)
                 # Armijo selection over the descending alpha ladder
-                any_ok = zeros > 1.0  # False
                 alpha_sel = jnp.full((SUB, LANE), alphas[0], jnp.float32)
                 found = zeros > 1.0
                 for a in range(A):
-                    al = alphas[a]
-                    expected = -(al * dV1 + al * al * dV2)
-                    improvement = cost_al - costs[a]
-                    model_sane = expected <= jnp.abs(cost_al) + 1.0
-                    ok = (~model_sane) | (
-                        improvement > armijo * jnp.maximum(expected, 0.0)
+                    ok = _armijo_ok(
+                        alphas[a], costs[a], cost_al, dV1, dV2, bp_fail
                     )
-                    ok = (
-                        ok
-                        & jnp.isfinite(costs[a])
-                        & (improvement > 0.0)
-                        & (bp_fail < 0.5)
-                    )
-                    alpha_sel = jnp.where(ok & ~found, al, alpha_sel)
+                    alpha_sel = jnp.where(ok & ~found, alphas[a], alpha_sel)
                     found = found | ok
                 any_ok = found
                 # accepted cost = the selected candidate's sweep accumulator
