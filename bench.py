@@ -288,6 +288,31 @@ def main():
     baseline_solves = 1000.0 / baseline_ms
     label = config_name if config_name != "singletrack" else f"dynamic bicycle N={N}"
 
+    # Self-describing artifact (VERDICT r3 Weak #4/#5): every line carries the
+    # exact experiment config so BENCH_MATRIX.jsonl is interpretable without
+    # reading bench_matrix.sh, plus a free-form BENCH_NOTE.
+    kernel_path = (
+        "whole-solve" if use_solve_kernel
+        else ("per-phase" if use_kernels else "xla")
+    )
+    cfg_desc = {
+        "family": config_name,
+        "budget": (
+            f"{solver_cfg.n_outer}x{solver_cfg.n_inner}"
+            + (f"+{solver_cfg.n_polish}p" if solver_cfg.n_polish else "")
+        ),
+        "n_alpha": solver_cfg.n_alpha,
+        "mu_scale": solver_cfg.mu_scale,
+        "kernel": kernel_path,
+        "timing": (
+            f"chunked-scan({K} steps/dispatch)"
+            if mode == "throughput"
+            and not bool(int(os.environ.get("BENCH_SYNC", "0")))
+            else "per-step-blocking"
+        ),
+    }
+    note = os.environ.get("BENCH_NOTE", "")
+
     if mode == "latency":
         # dispatch floor: the TPU sits behind a tunnel, so a large share of
         # single-scenario wall latency is host<->device round-trip, not chip
@@ -315,6 +340,7 @@ def main():
             "converged_frac": round(conv, 4),
             "platform": platform,
             "dtype": os.environ.get("BENCH_DTYPE", "f32"),
+            "config": cfg_desc,
         }
     else:
         out = {
@@ -327,7 +353,10 @@ def main():
             "converged_frac": round(conv, 4),
             "platform": platform,
             "dtype": os.environ.get("BENCH_DTYPE", "f32"),
+            "config": cfg_desc,
         }
+    if note:
+        out["note"] = note
     print(json.dumps(out))
 
 

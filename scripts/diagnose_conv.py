@@ -105,7 +105,7 @@ def main():
         print(
             f"  {i:3d}  {s_pos:6.1f} {st[i][0]:6.2f}  {viol[i]:.2e}  "
             f"{iters[i]:4d}   ({stage},{con})={C[stage,con]:.2e}   "
-            f"{bool(persist[np.where(bad)[0][i]] if False else persist[np.flatnonzero(bad)[i]])}"
+            f"{bool(persist[np.flatnonzero(bad)[i]])}"
         )
 
     # would a bigger budget converge them? re-solve stuck lanes 2x budget

@@ -34,8 +34,11 @@ REF_DATA = "/root/reference/experiments/data"
 
 # The regenerated matrix: every distinct (config-snapshot, track) the
 # reference recorded.  raceN_* dirs contain both controllers racing together;
-# cascadedN/singletrackN dirs are single-controller runs with the same
-# snapshots, so regenerating the race* + variant dirs covers every snapshot.
+# most cascadedN/singletrackN dirs are single-controller runs with snapshots
+# identical to a raceN dir (mapping in experiments/data/README.md); the ones
+# with genuinely distinct snapshots (cascaded4-7: max_speed 26/20/30 +
+# horizon_pm 40; singletrack_slip_angle3: max_speed 18 @ N=60) are
+# regenerated under their reference names below.
 RUNS = [
     # (run dir name, track, controllers, obstacles)
     ("race1_ippodromo", "ippodromo", ["cascaded", "singletrack"], False),
@@ -70,6 +73,14 @@ RUNS = [
     ("cascaded_slip_angle2_ippodromo", "ippodromo", ["cascaded"], False),
     ("singletrack_slip_angle_ippodromo", "ippodromo", ["singletrack"], False),
     ("singletrack_slip_angle2_ippodromo", "ippodromo", ["singletrack"], False),
+    # distinct-snapshot single-controller reference dirs (VERDICT r3 #6):
+    # max-speed sweep (26/20/30) + the horizon_pm=40 variant + the N=60
+    # slip-angle run — the only reference names without an exact raceN twin
+    ("cascaded4_ippodromo", "ippodromo", ["cascaded"], False),
+    ("cascaded5_ippodromo", "ippodromo", ["cascaded"], False),
+    ("cascaded6_ippodromo", "ippodromo", ["cascaded"], False),
+    ("cascaded7_ippodromo", "ippodromo", ["cascaded"], False),
+    ("singletrack_slip_angle3_ippodromo", "ippodromo", ["singletrack"], False),
 ]
 
 

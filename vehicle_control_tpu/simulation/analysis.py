@@ -59,10 +59,14 @@ class ParityReport(NamedTuple):
 
     @property
     def p99_normalized_dev(self):
+        if self.p99_abs_dev is None:
+            raise ValueError("ParityReport built without p99_abs_dev")
         return self.p99_abs_dev / np.maximum(self.rms_ref, 1e-12)
 
     @property
     def max_normalized_dev(self):
+        if self.max_abs_dev is None:
+            raise ValueError("ParityReport built without max_abs_dev")
         return self.max_abs_dev / np.maximum(self.rms_ref, 1e-12)
 
     def __str__(self):  # pragma: no cover
