@@ -35,10 +35,23 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 N_DEV = int(os.environ.get("SCALE_DEVICES", "8"))
 if "JAX_PLATFORMS" not in os.environ:
     os.environ["JAX_PLATFORMS"] = "cpu"
+# Single-thread each virtual device (default).  Without this the devices=1
+# baseline silently uses XLA-CPU intra-op threading across ALL host cores,
+# so adding virtual devices only removes intra-op parallelism and the weak
+# curve reads as mysterious mid-curve inefficiency (the round-3 devices=4
+# 0.559 anomaly: 4 multi-threaded virtual devices time-sharing 4 cores).
+# With one thread per device the core-limit model is exact at every point.
+SINGLE_THREAD = os.environ.get("SCALE_SINGLE_THREAD", "1") == "1"
 if os.environ["JAX_PLATFORMS"] == "cpu":
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "")
         + f" --xla_force_host_platform_device_count={N_DEV}"
+        + (
+            " --xla_cpu_multi_thread_eigen=false"
+            " intra_op_parallelism_threads=1"
+            if SINGLE_THREAD
+            else ""
+        )
     )
 
 import jax
@@ -164,9 +177,13 @@ def main():
         "platform": jax.default_backend(),
         "host_cores": cores,
         "virtual_mesh": jax.default_backend() == "cpu",
+        "intra_op_single_thread": SINGLE_THREAD,
         "interpretation": (
-            "weak_efficiency_vs_core_limit divides out the physical-core "
-            "time-sharing of the virtual CPU mesh (ideal 1.0); on real "
+            "Each virtual device runs single-threaded "
+            "(intra_op_parallelism_threads=1), so the devices=1 baseline "
+            "uses one core and the core-limit model min(1, cores/devices) "
+            "is exact at every point: weak_efficiency_vs_core_limit is the "
+            "sharding-attributable efficiency (ideal 1.0). On real "
             "multi-chip hardware read weak_efficiency directly (ideal 1.0: "
             "the scenario axis is communication-free except the FleetStats "
             "psum). sharding_overhead compares identical total work sharded "

@@ -103,6 +103,9 @@ def test_stage_derivs_cols_analytic_matches_ad(ippodromo_track):
     cfg["horizon"] = 3
     car = _cfg("models/dynamic_car.yaml")
     fam = build_cascaded_family(car, cfg, "none", ippodromo_track.data)
+    # disable fast_derivs on both sides: this test isolates the closed-form
+    # stash columns against the generic tangent sweep
+    fam = fam._replace(fast_derivs=None)
     fam_ad = fam._replace(analytic_cols=None)
 
     rng = np.random.default_rng(0)
@@ -135,3 +138,92 @@ def test_stage_derivs_cols_analytic_matches_ad(ippodromo_track):
             np.testing.assert_allclose(
                 np.asarray(J1[col][r]), np.asarray(J2[col][r]), rtol=1e-5, atol=1e-6
             )
+
+
+def test_fast_derivs_matches_generic_ad(ippodromo_track):
+    """The singletrack restructured-exact derivatives (FMFamily.fast_derivs:
+    closed-form quadratic Hessian entries + reduced forward-over-reverse on
+    the slip/friction block + sparse dynamics-Jacobian columns) equal the
+    generic linearize(grad+dyn) tangent sweep to f32 rounding — including at
+    adversarial states (steering stop, speed clamp, saturated tires) and at
+    the masked stage 0 / terminal stage."""
+    from vehicle_control_tpu.solvers.fm_family import (
+        build_cascaded_family,
+        stage_derivs_cols,
+    )
+
+    cfg = dict(_cfg("controllers/singletrack.yaml"), obstacles=False)
+    cfg["horizon"] = 4
+    car = _cfg("models/dynamic_car.yaml")
+    fam = build_cascaded_family(car, cfg, "none", ippodromo_track.data)
+    assert fam.fast_derivs is not None
+    fam_slow = fam._replace(fast_derivs=None)
+
+    rng = np.random.default_rng(7)
+    shape = (8, 128)
+    scales = [8.0, 1.0, 0.5, 0.3, 50.0, 2.0, 0.3, 5.0, 10.0, 2.0, 10.0, 2.0]
+    offs = [8.0, 0, 0, 0, 50.0, 0, 0, 5.0, 0, 0, 0, 0]
+    wf = [
+        jnp.asarray(offs[i] + scales[i] * rng.standard_normal(shape), jnp.float32)
+        for i in range(fam.NZ + fam.NU)
+    ]
+    # adversarial lanes: steering stop (delta exactly at the bound), speed
+    # at the solver clamp, saturated tires (large sideslip)
+    d_max = float(cfg["state_constraints"]["delta_max"])
+    wf[3] = wf[3].at[0, :].set(d_max)
+    wf[0] = wf[0].at[1, :].set(1.0)
+    wf[1] = wf[1].at[2, :].set(6.0)
+    wf = tuple(wf)
+    lam = [jnp.asarray(np.abs(rng.standard_normal(shape)), jnp.float32) for _ in range(fam.NC)]
+    mu = jnp.full(shape, 100.0, jnp.float32)
+    kv = jnp.asarray(0.05 * rng.standard_normal(shape), jnp.float32)
+    ds = jnp.asarray(1.0 + 0.5 * np.abs(rng.standard_normal((fam.H,) + shape)), jnp.float32)
+    ds_read = lambda i: ds[i]
+
+    def check(f, f_slow, n, seg=None):
+        nj = jnp.asarray(n)
+        g1, H1, J1 = jax.jit(
+            lambda w: stage_derivs_cols(f, nj, w, lam, mu, kv, ds_read, seg=seg)
+        )(wf)
+        g2, H2, J2 = jax.jit(
+            lambda w: stage_derivs_cols(f_slow, nj, w, lam, mu, kv, ds_read, seg=seg)
+        )(wf)
+
+        def close(a, b, what):
+            a, b = np.asarray(a), np.asarray(b)
+            scale = 1.0 + np.abs(b).max()
+            np.testing.assert_allclose(
+                a, b, rtol=2e-3, atol=2e-3 * scale,
+                err_msg=f"stage {n}: {what}",
+            )
+
+        for i, (a, b) in enumerate(zip(g1, g2)):
+            close(a, b, f"g[{i}]")
+        for i in range(f.NZ + f.NU):
+            for r in range(f.NZ + f.NU):
+                close(H1[i][r], H2[i][r], f"H[{i}][{r}]")
+            for r in range(f.NZ):
+                close(J1[i][r], J2[i][r], f"J[{i}][{r}]")
+
+    for n in (0, 1, fam.H - 1):
+        check(fam, fam_slow, n)
+
+    # singletrack with obstacles: the (s, ey) barrier Hessian block
+    cfg_o = dict(cfg, obstacles=True)
+    fam_o = build_cascaded_family(car, cfg_o, "none", ippodromo_track.data)
+    assert fam_o.fast_derivs is not None
+    check(fam_o, fam_o._replace(fast_derivs=None), 1)
+
+    # cascaded pm: the fast path covers the (0, N-1) single-track segment
+    # (seg-specialized closures); seam/tail segments fall back to generic
+    cfg_c = dict(
+        _cfg("controllers/cascaded.yaml"), obstacles=True, horizon=4,
+        horizon_pm=4,
+    )
+    fam_c = build_cascaded_family(car, cfg_c, "pm", ippodromo_track.data)
+    seg = fam_c.segments[0]
+    assert seg.hi == 3  # the st segment
+    assert fam_c.fast_derivs(
+        jnp.asarray(3), wf, lam, mu, kv, ds_read, seg=fam_c.segments[1]
+    ) is None  # seam segment not covered
+    check(fam_c, fam_c._replace(fast_derivs=None), 1, seg=seg)

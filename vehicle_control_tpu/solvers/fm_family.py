@@ -33,6 +33,13 @@ FORCE_SCALE = fm.FORCE_SCALE
 OBSTACLE_EPS = 1e-2  # problems.OBSTACLE_EPS
 
 
+def _fast_disabled():
+    """A/B escape hatch: FM_FAST_DERIVS=0 forces the generic AD path."""
+    import os
+
+    return os.environ.get("FM_FAST_DERIVS", "1") == "0"
+
+
 class Seg(NamedTuple):
     """Static stage segment ``[lo, hi)`` over which every stage-switched
     branch of a family is constant (the cut set includes every branch
@@ -76,6 +83,12 @@ class FMFamily(NamedTuple):
     analytic_cols: Callable | None = None
     # optional static partition of [0, H) for stage-specialized kernels
     segments: tuple | None = None
+    # optional full replacement for stage_derivs_cols' generic AD:
+    # (n, wf, lam, mu, kv, ds_read, seg=None) -> (g, Hcols, Jcols) or None
+    # when the stage/segment isn't covered (caller falls back to the generic
+    # tangent sweep).  Same exact math, restructured to exploit the family's
+    # static sparsity (see build_cascaded_family's _st_fast).
+    fast_derivs: Callable | None = None
 
 
 def stage_derivs_cols(family, n, wf, lam, mu, kv, ds_read, seg=None):
@@ -91,6 +104,11 @@ def stage_derivs_cols(family, n, wf, lam, mu, kv, ds_read, seg=None):
     the live branch's physics.
     """
     import jax
+
+    if family.fast_derivs is not None and not _fast_disabled():
+        fast = family.fast_derivs(n, wf, lam, mu, kv, ds_read, seg=seg)
+        if fast is not None:
+            return fast
 
     NW = family.NZ + family.NU
     ones = jnp.ones_like(wf[0])
@@ -488,14 +506,22 @@ def build_cascaded_family(car_config, cfg, tail, track_data) -> FMFamily:
 
     analytic_cols = None
     if tail == "none":
-        # the prev-action stash (z8 = Fx_prev, z9 = w_prev) enters the
-        # singletrack family ONLY through the Fx-slew term
-        # slew_on * (w_Fx/ds_prev) * (u0*FS - z8*FS)^2  (st_running_cost_
-        # fields:105-106); its Hessian column is two closed-form entries and
-        # the dynamics never read the stash (stash_next = u), so both jvp
-        # columns are skippable.
+        # Closed-form Hessian/Jacobian columns (scripts/derivs_lab.py
+        # sparsity census) — each skipped jvp column is bitwise-identical to
+        # what the tangent sweep produces:
+        # * z8/z9 (prev-action stash): enter ONLY through the Fx-slew term
+        #   slew_on * (w_Fx/ds_prev) * (u0*FS - z8*FS)^2 (st_running_cost_
+        #   fields:105-106); dynamics never read the stash (stash_next = u).
+        # * z4 (s): without obstacles nothing reads s — not the cost, not
+        #   the constraints, not spatial_prime (curvature is a per-stage
+        #   parameter tile, not evaluated from s) — and s_next = s + ds, so
+        #   the Hessian column is zero and the Jacobian column is e4.
+        # * z7 (t): enters only the (linear) terminal w_time*t cost and
+        #   t_next = t + ds/s_dot_eff reads every state BUT t, so H col is
+        #   zero and J col is e7.
         def analytic_cols(n, wf, ds_read):
             zero = jnp.zeros_like(wf[0])
+            one = jnp.ones_like(wf[0])
             ds_prev = ds_read(jnp.maximum(n - 1, 0))
             coef = (
                 ((n >= 1) & (n < N))
@@ -506,7 +532,175 @@ def build_cascaded_family(car_config, cfg, tail, track_data) -> FMFamily:
             h8[8] = coef
             h8[NZ + 0] = -coef
             jz = [zero] * NZ
-            return {8: (h8, jz), 9: ([zero] * (NZ + NU), jz)}
+            cols = {8: (h8, jz), 9: ([zero] * (NZ + NU), jz)}
+            if not obstacles_on:
+                for i in (4, 7):
+                    ji = [zero] * NZ
+                    ji[i] = one
+                    cols[i] = ([zero] * (NZ + NU), ji)
+            return cols
+
+    # -- restructured exact derivatives (singletrack hot path) ----------------
+    # Same math as the generic linearize(grad+dyn) tangent sweep, computed by
+    # structure instead (scripts/derivs_lab.py sparsity census):
+    #   * gradient: one reverse-mode pass over the full AL cost (exact);
+    #   * dynamics Jacobian: one linearize(dyn) applied only to the 8 columns
+    #     the RK4 actually reads (s, t, stash are closed-form);
+    #   * Hessian: closed-form entries for every quadratic/piecewise-
+    #     quadratic term (boundary, deviation, w^2, slew, terminal, linear
+    #     constraint rows' mu-active outer products) plus ONE small
+    #     forward-over-reverse restricted to the genuinely nonquadratic
+    #     block — the slip penalty and the engine/friction constraint rows,
+    #     which only touch (Ux, Uy, r, delta, u_Fx).
+    # Values agree with the generic path to fp-reordering (tested by
+    # tests/test_kernel_trace.py); ~28.9k -> ~13k tile-ops per stage.
+    # Applies to every stage whose dynamics AND cost are pure single-track:
+    # all stages of tail="none", and the (0, N-1) static segment of the
+    # cascaded tails (seam/tail segments keep the generic path — their
+    # closures are an order of magnitude cheaper to differentiate).
+    import jax
+
+    VIDX = (0, 1, 2, 3, NZ + 0)  # the nonquadratic block's variables
+
+    def fast_derivs(n, wf, lam, mu, kv, ds_read, seg=None):
+        if tail == "none":
+            if seg is not None:
+                return None  # tail="none" builds no segments
+        elif seg is None or seg.hi > N - 1:
+            return None  # seam/tail/generic stages: generic AD path
+        return _st_fast(n, wf, lam, mu, kv, ds_read, seg)
+
+    def _st_fast(n, wf, lam, mu, kv, ds_read, seg):
+            kw = {} if seg is None else {"seg": seg}
+            zero = jnp.zeros_like(wf[0])
+            one = jnp.ones_like(wf[0])
+            dsn = ds_read(n)
+            ds_prev = ds_read(jnp.maximum(n - 1, 0))
+
+            # exact gradient of the full AL cost (reverse mode)
+            def al_sum(*ww):
+                return jnp.sum(
+                    al_cost(n, ww, lambda j: lam[j], mu, kv, ds_read, **kw)
+                )
+
+            g = list(jax.grad(al_sum, argnums=tuple(range(NZ + NU)))(*wf))
+
+            # dynamics Jacobian: analytic RK4 chain (fm.rk4_step_jac) —
+            # tangent columns (Ux, Uy, r, delta, ey, epsi, Fx, w); the s/t
+            # columns are e4/e7 and the stash columns are zero + the
+            # stash_next = u identity
+            def _t(v):
+                return zero if isinstance(v, float) and v == 0.0 else (
+                    v + zero if isinstance(v, float) else v
+                )
+
+            x8 = [wf[i] for i in range(8)]
+            nxt8, T = fm.rk4_step_jac(
+                x8, wf[NZ] * FORCE_SCALE, wf[NZ + 1], kv, dsn, p
+            )
+            # steering stop on the integrated delta (dyn's _sat_col clip)
+            dclip = fm._clipg(nxt8[3], cs["delta_min"], cs["delta_max"])
+            T[3] = [fm._mac(0.0, dclip, d) for d in T[3]]
+            col_of = {0: 0, 1: 1, 2: 2, 3: 3, 5: 4, 6: 5}
+            Jcols = []
+            for i in range(NZ + NU):
+                if i in (4, 7):  # s_next = s + ds; t_next = t + ds/s_dot
+                    ji = [zero] * NZ
+                    ji[i] = one
+                    Jcols.append(ji)
+                elif i in (8, 9):  # stash never read; stash_next = u
+                    Jcols.append([zero] * NZ)
+                elif i < NZ:
+                    c = col_of[i]
+                    Jcols.append([_t(T[r][c]) for r in range(8)] + [zero, zero])
+                else:  # controls: chain u_Fx -> Fx by FORCE_SCALE; stash rows
+                    c = 6 if i == NZ else 7
+                    scale = FORCE_SCALE if i == NZ else 1.0
+                    ji = [_t(fm._mac(0.0, scale, T[r][c])) for r in range(8)]
+                    ji += [one if i == NZ else zero, one if i == NZ + 1 else zero]
+                    Jcols.append(ji)
+
+            # nonquadratic Hessian block: slip penalty + engine/friction
+            # constraint rows as a function of (Ux, Uy, r, delta, u_Fx)
+            def nonquad5(Ux_, Uy_, r_, d_, uFx_):
+                Fx_ = uFx_ * FORCE_SCALE
+                x8 = [Ux_, Uy_, r_, d_, wf[4], wf[5], wf[6], wf[7]]
+                val = fm.slip_penalty_fields(x8, Fx_, p, w["slip"])
+                c = fm.constraint_fields(x8, Fx_, wf[NZ + 1], p, ci, cs)
+                pen = zero
+                for j in (3, 6, 7, 8, 9):
+                    lam_hat = jnp.maximum(0.0, lam[j] + mu * c[j])
+                    pen += lam_hat**2 - lam[j] ** 2
+                return jnp.sum(val + pen / (2.0 * mu))
+
+            grad5 = jax.grad(nonquad5, argnums=(0, 1, 2, 3, 4))
+            _, lin_h = jax.linearize(
+                grad5, wf[0], wf[1], wf[2], wf[3], wf[NZ + 0]
+            )
+            eye5 = [
+                tuple(one if j == i else zero for j in range(5))
+                for i in range(5)
+            ]
+            Hcols = [[zero] * (NZ + NU) for _ in range(NZ + NU)]
+            for ci_, i in enumerate(VIDX):
+                col = lin_h(*eye5[ci_])
+                for cr, rr in enumerate(VIDX):
+                    Hcols[i][rr] = Hcols[i][rr] + col[cr]
+
+            if obstacles_on:
+                # obstacle barrier: an exact 2x2 Hessian block on (s, ey)
+                # via a tiny forward-over-reverse (the dynamics still never
+                # read s, so the Jacobian column stays e4)
+                nf = jnp.asarray(n).astype(jnp.float32)
+
+                def obst2(s_, ey_):
+                    if tail == "kc":
+                        return jnp.sum(_obstacles_kc(obs_rows, s_, ey_, dsn, nf))
+                    return jnp.sum(
+                        _obstacles_std(obs_rows, s_, ey_, dsn, w["obstacles"])
+                    )
+
+                _, lin_o = jax.linearize(
+                    jax.grad(obst2, argnums=(0, 1)), wf[4], wf[5]
+                )
+                for ci_, i in enumerate((4, 5)):
+                    col = lin_o(*((one, zero) if ci_ == 0 else (zero, one)))
+                    Hcols[i][4] = Hcols[i][4] + col[0]
+                    Hcols[i][5] = Hcols[i][5] + col[1]
+
+            # closed-form quadratic / piecewise-quadratic entries
+            c_all = constraints(n, wf, **kw)
+            keep = jnp.where(n != 0, 1.0, 0.0)
+
+            def act(j):
+                return jnp.where(lam[j] + mu * c_all[j] > 0.0, 1.0, 0.0)
+
+            termf = jnp.where(n == H - 1, 1.0, 0.0)
+            Ux, ey = wf[0], wf[5]
+            Hcols[0][0] = Hcols[0][0] + mu * act(0) * keep + termf * (
+                2.0 * w["speed"]
+            ) * jnp.where(Ux >= cs["max_speed"], 1.0, 0.0)
+            Hcols[3][3] = Hcols[3][3] + mu * (act(1) + act(2)) * keep
+            Hcols[NZ + 1][NZ + 1] = (
+                2.0 * w["w"] + mu * (act(4) + act(5)) + zero
+            )
+            blo = jnp.where(ey < cs["ey_min"], 1.0, 0.0)
+            bhi = jnp.where(ey > cs["ey_max"], 1.0, 0.0)
+            Hcols[5][5] = Hcols[5][5] + (  # += : obstacles touch (5,5) too
+                2.0 * w["boundary"] * dsn * (blo + bhi)
+                + 2.0 * w["deviation_st"] * dsn
+                + termf * (2.0 * w["ey"])
+            )
+            Hcols[6][6] = termf * (2.0 * w["epsi"]) + zero
+            slew_on = jnp.where((n >= 1) & (n < N), 1.0, 0.0)
+            coef = slew_on * (2.0 * w["Fx"] / ds_prev) * (
+                FORCE_SCALE * FORCE_SCALE
+            )
+            Hcols[8][8] = Hcols[8][8] + coef
+            Hcols[8][NZ + 0] = Hcols[8][NZ + 0] - coef
+            Hcols[NZ + 0][8] = Hcols[NZ + 0][8] - coef
+            Hcols[NZ + 0][NZ + 0] = Hcols[NZ + 0][NZ + 0] + coef
+            return g, Hcols, Jcols
 
     # static stage partition: cuts at every branch point of the closures
     # above (dyn seam N-1, st/tail switch N, pm-slew/prev-unit N+1, terminal
@@ -521,7 +715,7 @@ def build_cascaded_family(car_config, cfg, tail, track_data) -> FMFamily:
 
     return FMFamily(
         NZ, NU, NC, H, al_cost, dyn, u_box, stage_cost, constraints,
-        analytic_cols, segments,
+        analytic_cols, segments, fast_derivs,
     )
 
 
