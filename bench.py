@@ -97,15 +97,15 @@ def build(config_name, N, dtype):
             if config_name == "cascaded_obstacles":
                 # obstacle barriers leave small AL residuals at mu_scale=10
                 # (conv 86% on cold drops); faster penalty growth converges
-                # the multipliers within the same iteration budget (98%+).
-                # The remaining sub-1% are curve-entry friction-circle
-                # marginals (scripts/diagnose_conv.py): a 4th outer loop +
-                # 4 polish iterations against the final multipliers take the
-                # steady-state fleet to 99.6% (CPU replication, B=256); the
-                # extra budget is near-free on TPU (early-exit drains warm
-                # tiles in 1-3 iterations).
+                # the multipliers within the same iteration budget.  r4:
+                # penalty warm-starting (mu0=300 — warm-started lanes carry
+                # near-optimal multipliers, so a large initial penalty is
+                # stable and shrinks the marginal friction-circle flicker
+                # that TPU-f32 noise pushes past tol_con) buys back the
+                # round-3 budget increase: 3x8+4 @ mu0=300 measures
+                # 92.7k solves/s @ 99.02% (was 4x8+4 @ 67.0k @ 98.88%).
                 solver["mu_scale"] = 30.0
-                solver["n_outer"] = 4
+                solver["mu0"] = 300.0
                 solver["n_polish"] = 4
         elif config_name == "cascaded_kinematic":
             ctrl = load_config(
@@ -115,10 +115,12 @@ def build(config_name, N, dtype):
             tail = "kc"
             # 3x8 left ~4-5% of the steady-state fleet flickering on the
             # curve-entry friction circle (5-30 N marginal AL residuals,
-            # scripts/diagnose_conv.py); 4x10+6 converges 99.8-100% (CPU
-            # replication, B=256) and the extra budget is near-free on TPU
-            # (early-exit drains warm tiles in 1-3 iterations)
-            solver = dict(n_outer=4, n_inner=10, n_polish=6)
+            # scripts/diagnose_conv.py).  r4: penalty warm-starting closes
+            # the TPU-f32 flicker band — mu0 dose-response on TPU at 4x10+6:
+            # 10 -> 98.19%, 100 -> 98.88%, 300 -> 99.22% at unchanged
+            # throughput; budget cuts below this trade conv (4x8+6 @ mu300:
+            # 98.93% @ 77.5k, 3x8+4: 97.85% @ 102k) — conv >= 99% wins.
+            solver = dict(n_outer=4, n_inner=10, n_polish=6, mu0=300.0)
         else:
             raise SystemExit(f"unknown BENCH_CONFIG {config_name}")
         problem = problems.build_cascaded_problem(carcfg, track, ctrl, tail, dtype)
@@ -158,6 +160,11 @@ def initial_states(track, ns, B, rng, avoid_obstacles=False):
 def main():
     platform = jax.devices()[0].platform
     mode = os.environ.get("BENCH_MODE", "throughput")  # or "latency"
+    if platform == "tpu" and mode == "throughput":
+        # wide solve-kernel tiles: the kernel is issue-bound, not op-bound;
+        # 16 sublanes (2048 scenarios/instance) measures +6% over 8 and
+        # saturates (32 is flat).  Must be set before the solver import.
+        os.environ.setdefault("FM_SUB", "16")
     config_name = os.environ.get("BENCH_CONFIG", "singletrack")
     if mode == "latency":
         B = 1
@@ -191,9 +198,13 @@ def main():
     solver_cfg = ALILQRConfig(
         n_outer=int(os.environ.get("BENCH_OUTER", solver["n_outer"])),
         n_inner=int(os.environ.get("BENCH_INNER", solver["n_inner"])),
+        mu0=float(os.environ.get("BENCH_MU0", solver.get("mu0", 10.0))),
         mu_scale=float(os.environ.get("BENCH_MU_SCALE", solver.get("mu_scale", 10.0))),
         n_alpha=int(os.environ.get("BENCH_ALPHA", solver.get("n_alpha", 8))),
         n_polish=int(os.environ.get("BENCH_POLISH", solver.get("n_polish", 0))),
+        polish_mu_boost=float(
+            os.environ.get("BENCH_POLISH_BOOST", solver.get("polish_mu_boost", 1.0))
+        ),
         use_solve_kernel=use_solve_kernel,
         use_ls_kernel=use_kernels and not use_solve_kernel,
         use_backward_kernel=use_kernels and not use_solve_kernel,
@@ -302,6 +313,7 @@ def main():
             + (f"+{solver_cfg.n_polish}p" if solver_cfg.n_polish else "")
         ),
         "n_alpha": solver_cfg.n_alpha,
+        "mu0": solver_cfg.mu0,
         "mu_scale": solver_cfg.mu_scale,
         "kernel": kernel_path,
         "timing": (

@@ -15,11 +15,16 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# DIAG_TPU=1 runs the census on the device backend (the axon TPU plugin
+# self-registers, so we must NOT touch jax_platforms in that case);
+# default forces CPU like every other offline script.
+if os.environ.get("DIAG_TPU", "0") != "1":
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if os.environ.get("DIAG_TPU", "0") != "1":
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 import dataclasses
 
@@ -41,11 +46,13 @@ def main():
         config_name, 30, dtype
     )
     solver_cfg = ALILQRConfig(
-        n_outer=solver["n_outer"],
-        n_inner=solver["n_inner"],
-        mu_scale=solver.get("mu_scale", 10.0),
+        n_outer=int(os.environ.get("DIAG_OUTER", solver["n_outer"])),
+        n_inner=int(os.environ.get("DIAG_INNER", solver["n_inner"])),
+        mu0=float(os.environ.get("DIAG_MU0", solver.get("mu0", 10.0))),
+        mu_scale=float(os.environ.get("DIAG_MU_SCALE", solver.get("mu_scale", 10.0))),
         n_alpha=solver.get("n_alpha", 8),
-        n_polish=solver.get("n_polish", 0),
+        n_polish=int(os.environ.get("DIAG_POLISH", solver.get("n_polish", 0))),
+        polish_mu_boost=float(os.environ.get("DIAG_POLISH_BOOST", "1.0")),
     )
     step = jax.jit(
         make_batched_racing_step(

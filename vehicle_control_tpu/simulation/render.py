@@ -227,6 +227,137 @@ def render_tracking_gif(run, path="experiments/videos/tracking.gif", fps=20, str
     return path
 
 
+class RunReplay:
+    """Lightweight replay handle over a saved run directory — ours or the
+    reference's (same .npy layout, racing.py:441-459) — without building
+    controllers or solvers.  Duck-types the slice of the simulator API the
+    render functions read (track / state_traj / action_traj / indices / dt).
+    """
+
+    def __init__(self, run_dir, track=None, dt=0.05):
+        import glob
+
+        from vehicle_control_tpu.environment.track import Track
+        from vehicle_control_tpu.utils.config import load_config, project_root
+
+        self.src_dir = run_dir
+        self.dt = dt
+        names = sorted(
+            os.path.basename(p)[: -len("_state_traj.npy")]
+            for p in glob.glob(os.path.join(run_dir, "*_state_traj.npy"))
+        )
+        if not names:
+            raise FileNotFoundError(f"no *_state_traj.npy under {run_dir}")
+        self.state_traj, self.action_traj, self.pred_traj = {}, {}, {}
+        for n in names:
+            self.state_traj[n] = np.load(
+                os.path.join(run_dir, f"{n}_state_traj.npy")
+            )
+            apath = os.path.join(run_dir, f"{n}_action_traj.npy")
+            if os.path.exists(apath):
+                self.action_traj[n] = np.load(apath)
+        ns = next(iter(self.state_traj.values())).shape[1]
+        if ns >= 8:  # dynamic bicycle (Ux, Uy, r, delta, s, ey, epsi, t)
+            self.s_index, self.ey_index = 4, 5
+            self.t_index, self.speed_index = 7, 0
+        else:  # kinematic (v, delta, s, ey, epsi, t)
+            self.s_index, self.ey_index = 2, 3
+            self.t_index, self.speed_index = 5, 0
+        if track is None:
+            # run dirs are named <run>_<track> (racing.py's layout)
+            tname = os.path.basename(os.path.normpath(run_dir)).rsplit("_", 1)[-1]
+            cfg = os.path.join(
+                project_root(), "configs", "environment", f"{tname}.yaml"
+            )
+            if not os.path.exists(cfg):
+                raise FileNotFoundError(
+                    f"cannot infer track from '{run_dir}' (no {cfg}); "
+                    "pass track= explicitly"
+                )
+            track = Track(load_config(cfg))
+        self.track = track
+
+
+def live_replay(run_dir, stride=2, interval_ms=50, out=None):
+    """Incremental replay of a finished run — the reference's interactive
+    live view (simulator.py:34-46, racing.py:208-215) WITHOUT re-coupling
+    plotting to the solve loop: physics ran headless, this just plays the
+    saved lap back frame by frame with the growing speed/steer side traces.
+
+    Opens an interactive window when a GUI backend is available; otherwise
+    (headless) falls back to writing a GIF at ``out`` (default
+    ``<run_dir>/live_replay.gif``).
+    """
+    sim = RunReplay(run_dir) if isinstance(run_dir, str) else run_dir
+    names = list(sim.state_traj)
+    interactive = False
+    try:  # switch to a GUI backend if one exists
+        plt.switch_backend("TkAgg")
+        interactive = True
+    except Exception:
+        plt.switch_backend("Agg")
+
+    name = names[0]
+    st = sim.state_traj[name]
+    ac = sim.action_traj.get(name)
+    T = len(st)
+    frames = list(range(0, T, stride))
+    fig = plt.figure(figsize=(13, 6))
+    ax = fig.add_subplot(1, 2, 1)
+    ax_v = fig.add_subplot(2, 2, 2)
+    ax_u = fig.add_subplot(2, 2, 4)
+    t_all = st[:, sim.t_index]
+
+    def update(i):
+        f = frames[i]
+        ax.clear()
+        render_racing_frame(sim, name, f, ax=ax)
+        ax.set_title(f"{name} — t = {t_all[f]:.2f} s")
+        ax_v.clear()
+        ax_v.plot(t_all[: f + 1], st[: f + 1, sim.speed_index], color="#007CFF")
+        ax_v.set_xlim(0, t_all[-1])
+        ax_v.set_ylim(0, float(st[:, sim.speed_index].max()) * 1.1 + 1e-9)
+        ax_v.set_ylabel("speed [m/s]")
+        if ac is not None:
+            ax_u.clear()
+            k = min(f + 1, len(ac))
+            ax_u.plot(t_all[:k], ac[:k, 0], color="#E16917")
+            ax_u.set_xlim(0, t_all[-1])
+            ax_u.set_ylabel("u0")
+            ax_u.set_xlabel("t [s]")
+
+    anim = FuncAnimation(fig, update, frames=len(frames), interval=interval_ms)
+    if interactive:
+        plt.show()
+        return None
+    out = out or os.path.join(sim.src_dir, "live_replay.gif")
+    anim.save(out, writer=PillowWriter(fps=max(1, 1000 // interval_ms)))
+    plt.close(fig)
+    return out
+
+
+def _main():  # pragma: no cover - exercised via CLI
+    import argparse
+
+    ap = argparse.ArgumentParser(description="offline run rendering")
+    ap.add_argument("run_dir", help="run directory (ours or the reference's)")
+    ap.add_argument("--live", action="store_true", help="incremental replay")
+    ap.add_argument("--stride", type=int, default=2)
+    ap.add_argument("--interval-ms", type=int, default=50)
+    ap.add_argument("--out", default=None, help="GIF path (headless fallback)")
+    args = ap.parse_args()
+    if args.live:
+        out = live_replay(
+            args.run_dir, stride=args.stride, interval_ms=args.interval_ms,
+            out=args.out,
+        )
+        if out:
+            print(f"no GUI backend; wrote {out}")
+    else:
+        sim = RunReplay(args.run_dir)
+        print(render_racing_gif(sim, path=args.out))
+
+
 def plot_slip_angles(sim, name, path=None):
     """Slip-angle diagnostics figure: alpha vs alphamod front/rear over the
     lap (the reference's slip_angle_plot live mode, racing.py:108-215)."""
@@ -252,3 +383,7 @@ def plot_slip_angles(sim, name, path=None):
     fig.savefig(out, dpi=110, bbox_inches="tight")
     plt.close(fig)
     return out
+
+
+if __name__ == "__main__":  # pragma: no cover
+    _main()

@@ -69,6 +69,11 @@ class ALILQRConfig:
     # *previous* multipliers, so near-converged lanes keep O(tol_con..1e-3)
     # residuals the last lam/mu update would have fixed.  2 polish iterations
     # cost ~n_polish/(n_outer*n_inner) and convert those marginal lanes.
+    polish_mu_boost: float = 1.0  # extra penalty factor for the polish
+    # phase only: the AL residual of a near-optimal lane scales ~1/mu, so
+    # polishing against boost*mu pulls marginal (1-5x tol_con) flicker
+    # lanes under tolerance without extra iterations.  Safe at warm starts
+    # (the iterate barely moves); 1.0 = previous behavior.
     n_alpha: int = 8  # parallel line-search candidates
     alpha_min: float = 1e-3  # smallest candidate step
     mu0: float = 10.0  # initial penalty
@@ -543,11 +548,13 @@ def build_solver(
         )
 
         if cfg.n_polish > 0:
-            # optimize against the FINAL multipliers (see ALILQRConfig)
-            cost_al = total_al_cost(X, U, lam, mu, params)
+            # optimize against the FINAL multipliers (see ALILQRConfig),
+            # optionally with a boosted penalty (polish_mu_boost)
+            mu_p = jnp.minimum(mu * cfg.polish_mu_boost, cfg.mu_max)
+            cost_al = total_al_cost(X, U, lam, mu_p, params)
 
             def pstep(s, __):
-                return inner_step(s, __, lam, mu, params, z0)
+                return inner_step(s, __, lam, mu_p, params, z0)
 
             init = (X, U, cost_al, rho, jnp.asarray(False), n_acc)
             (X, U, _, rho, _, n_acc), _ = lax.scan(
@@ -584,7 +591,7 @@ def build_solver(
                 tuple(in_batched),
             )
             params, z0, U_init, lam = args
-            pad = (-B) % 1024
+            pad = (-B) % getattr(solve_kernel, "b_tile", 1024)
             if pad:
                 def padb(a):
                     return jnp.concatenate(

@@ -566,9 +566,14 @@ def build_cascaded_family(car_config, cfg, tail, track_data) -> FMFamily:
         if tail == "none":
             if seg is not None:
                 return None  # tail="none" builds no segments
-        elif seg is None or seg.hi > N - 1:
-            return None  # seam/tail/generic stages: generic AD path
-        return _st_fast(n, wf, lam, mu, kv, ds_read, seg)
+            return _st_fast(n, wf, lam, mu, kv, ds_read, seg)
+        if seg is None:
+            return None  # cascaded generic (fully masked) stages
+        if seg.hi <= N - 1:
+            return _st_fast(n, wf, lam, mu, kv, ds_read, seg)
+        if seg.lo >= N:
+            return _tail_fast(n, wf, lam, mu, kv, ds_read, seg)
+        return None  # the seam segment (N-1, N)
 
     def _st_fast(n, wf, lam, mu, kv, ds_read, seg):
             kw = {} if seg is None else {"seg": seg}
@@ -701,6 +706,188 @@ def build_cascaded_family(car_config, cfg, tail, track_data) -> FMFamily:
             Hcols[NZ + 0][8] = Hcols[NZ + 0][8] - coef
             Hcols[NZ + 0][NZ + 0] = Hcols[NZ + 0][NZ + 0] + coef
             return g, Hcols, Jcols
+
+    FS = FORCE_SCALE
+
+    def _tail_fast(n, wf, lam, mu, kv, ds_read, seg):
+        """Restructured exact derivatives for the pm/kc TAIL segments
+        (seg.lo >= N): the tail costs are entirely (piecewise-)quadratic
+        and the tail constraints are linear except the pm engine-power row,
+        so the Hessian is closed-form (+ a tiny forward-over-reverse for
+        the obstacle barrier block); the Euler-step dynamics Jacobian needs
+        5-6 tangent columns over a ~150-op segment-specialized trace."""
+        kw = {"seg": seg}
+        zero = jnp.zeros_like(wf[0])
+        one = jnp.ones_like(wf[0])
+        dsn = ds_read(n)
+        ds_prev = ds_read(jnp.maximum(n - 1, 0))
+        NW = NZ + NU
+
+        def al_sum(*ww):
+            return jnp.sum(
+                al_cost(n, ww, lambda j: lam[j], mu, kv, ds_read, **kw)
+            )
+
+        g = list(jax.grad(al_sum, argnums=tuple(range(NW)))(*wf))
+
+        # -- dynamics Jacobian: linearize the tiny tail-segment dyn ----------
+        def dyn_fn(*ww):
+            return dyn(n, ww, kv, ds_read, **kw)
+
+        _, lin_d = jax.linearize(dyn_fn, *wf)
+        if tail == "pm":
+            live_cols = (0, 2, 3, NZ + 0, NZ + 1)
+            e_cols = {1: 1, 4: 4}  # s_next = s + ds; t_next = t + ds/sde
+        else:
+            live_cols = (0, 1, 3, 4, NZ + 0, NZ + 1)
+            e_cols = {2: 2, 5: 5}
+
+        def _t(v):
+            return zero if isinstance(v, float) and v == 0.0 else (
+                v + zero if isinstance(v, float) else v
+            )
+
+        Jcols = []
+        for i in range(NW):
+            if i in e_cols:
+                ji = [zero] * NZ
+                ji[e_cols[i]] = one
+                Jcols.append(ji)
+            elif i in live_cols:
+                tangents = tuple(one if j == i else zero for j in range(NW))
+                ji = list(lin_d(*tangents))
+                Jcols.append([_t(x) for x in ji])
+            else:  # extras (z5-z7 pm / z6-z7 kc) and the stash: never read
+                ji = [zero] * NZ
+                if i == NZ + 0:
+                    ji[8] = one
+                if i == NZ + 1:
+                    ji[9] = one
+                Jcols.append(ji)
+        # stash rows for the live control columns
+        Jcols[NZ + 0][8] = one
+        Jcols[NZ + 1][9] = one
+
+        # -- Hessian: closed form ---------------------------------------------
+        c_all = constraints(n, wf, **kw)
+
+        def act(j):
+            return jnp.where(lam[j] + mu * c_all[j] > 0.0, 1.0, 0.0)
+
+        Hm = [[zero] * NW for _ in range(NW)]
+        sw_on = seg.lo <= N < seg.hi
+        term_on = seg.lo <= H - 1 < seg.hi
+        termf = (
+            jnp.where(n == H - 1, 1.0, 0.0) if term_on else 0.0
+        )
+        if tail == "pm":
+            V, ey = wf[0], wf[2]
+            blo = jnp.where(ey < ct["ey_min"], 1.0, 0.0)
+            bhi = jnp.where(ey > ct["ey_max"], 1.0, 0.0)
+            Hm[2][2] = (
+                2.0 * w["boundary"] * dsn * (blo + bhi)
+                + 2.0 * w["deviation_pm"] * dsn
+            )
+            # constraint rows: 0 V-floor (linear), 1 engine power (nonlin)
+            Hm[0][0] = Hm[0][0] + mu * act(0)
+            Vm = jnp.maximum(V, 1.0)
+            liveV = jnp.where(V > 1.0, 1.0, jnp.where(V < 1.0, 0.0, 0.5))
+            gV = fs * p.Peng / (Vm * Vm) * liveV  # d c1/dV
+            lam_hat1 = jnp.maximum(0.0, lam[1] + mu * c_all[1])
+            a1 = mu * act(1)
+            Hm[0][0] = Hm[0][0] + a1 * gV * gV + lam_hat1 * (
+                -2.0 * fs * p.Peng / (Vm * Vm * Vm)
+            ) * liveV
+            Hm[0][NZ] = Hm[0][NZ] + a1 * gV  # d c1/du0 = FS*fs = 1
+            Hm[NZ][0] = Hm[NZ][0] + a1 * gV
+            Hm[NZ][NZ] = Hm[NZ][NZ] + a1
+            if seg.lo >= N + 1:  # pm slew (both prev actions in FS units)
+                cF = (2.0 * w["Fx"] / ds_prev) * (FS * FS)
+                cY = (2.0 * w["Fy"] / ds_prev) * (FS * FS)
+                Hm[8][8] = Hm[8][8] + cF
+                Hm[8][NZ] = Hm[8][NZ] - cF
+                Hm[NZ][8] = Hm[NZ][8] - cF
+                Hm[NZ][NZ] = Hm[NZ][NZ] + cF
+                Hm[9][9] = Hm[9][9] + cY
+                Hm[9][NZ + 1] = Hm[9][NZ + 1] - cY
+                Hm[NZ + 1][9] = Hm[NZ + 1][9] - cY
+                Hm[NZ + 1][NZ + 1] = Hm[NZ + 1][NZ + 1] + cY
+            if sw_on:  # switching cost at n == N (u1 is Fy, FS units)
+                swf = jnp.where(n == N, 1.0, 0.0)
+                cw = swf * (2.0 * w["switch_F"] / ds_read(N - 1))
+                Hm[NZ][NZ] = Hm[NZ][NZ] + cw * (FS * FS)
+                Hm[NZ][8] = Hm[NZ][8] - cw * (FS * FS)
+                Hm[8][NZ] = Hm[8][NZ] - cw * (FS * FS)
+                Hm[8][8] = Hm[8][8] + cw * (FS * FS)
+                Hm[NZ + 1][NZ + 1] = Hm[NZ + 1][NZ + 1] + cw * (FS * FS)
+                Hm[NZ + 1][5] = Hm[NZ + 1][5] - cw * FS
+                Hm[5][NZ + 1] = Hm[5][NZ + 1] - cw * FS
+                Hm[5][5] = Hm[5][5] + cw
+            if term_on:
+                Hm[0][0] = Hm[0][0] + termf * (2.0 * w["speed"]) * jnp.where(
+                    wf[0] >= cs["max_speed"], 1.0, 0.0
+                )
+                Hm[2][2] = Hm[2][2] + termf * (2.0 * w["ey"])
+                Hm[3][3] = Hm[3][3] + termf * (2.0 * w["epsi"])
+            obs_ij = (1, 2)
+        else:  # kc tail
+            ey = wf[3]
+            blo = jnp.where(ey < ct["ey_min"], 1.0, 0.0)
+            bhi = jnp.where(ey > ct["ey_max"], 1.0, 0.0)
+            Hm[3][3] = (
+                2.0 * w["boundary"] * dsn * (blo + bhi)
+                + 2.0 * w["deviation_kc"] * dsn
+            )
+            Hm[NZ + 1][NZ + 1] = (
+                2.0 * w["w_kc"] + mu * (act(5) + act(6)) + zero
+            )
+            Hm[0][0] = Hm[0][0] + mu * act(0)
+            Hm[1][1] = Hm[1][1] + mu * (act(1) + act(2))
+            Hm[NZ][NZ] = Hm[NZ][NZ] + mu * (act(3) + act(4)) * (FS * FS)
+            # a-slew (the kc mask is traced: (n >= N+1) & (n-1 < K-1))
+            slewk = jnp.where((n >= N + 1) & (n - 1 < _K - 1), 1.0, 0.0)
+            cA = slewk * (2.0 * w["a"]) * (FS * FS)
+            Hm[8][8] = Hm[8][8] + cA
+            Hm[8][NZ] = Hm[8][NZ] - cA
+            Hm[NZ][8] = Hm[NZ][8] - cA
+            Hm[NZ][NZ] = Hm[NZ][NZ] + cA
+            if sw_on:  # switching cost at n == N (accel + steer continuity)
+                swf = jnp.where(n == N, 1.0, 0.0)
+                cw = swf * (2.0 * w["Fy"] / ds_read(min(N, H - 1)))
+                Hm[6][6] = Hm[6][6] + cw
+                Hm[6][NZ] = Hm[6][NZ] - cw * FS
+                Hm[NZ][6] = Hm[NZ][6] - cw * FS
+                Hm[NZ][NZ] = Hm[NZ][NZ] + cw * (FS * FS)
+                Hm[7][7] = Hm[7][7] + cw
+                Hm[7][NZ + 1] = Hm[7][NZ + 1] - cw
+                Hm[NZ + 1][7] = Hm[NZ + 1][7] - cw
+                Hm[NZ + 1][NZ + 1] = Hm[NZ + 1][NZ + 1] + cw
+            if term_on:
+                Hm[0][0] = Hm[0][0] + termf * (2.0 * w["speed"]) * jnp.where(
+                    wf[0] >= cs["max_speed"], 1.0, 0.0
+                )
+                Hm[3][3] = Hm[3][3] + termf * (2.0 * w["ey"])
+                Hm[4][4] = Hm[4][4] + termf * (2.0 * w["epsi"])
+            obs_ij = (2, 3)
+        if obstacles_on:
+            i0, i1 = obs_ij
+            nf = jnp.asarray(n).astype(jnp.float32)
+
+            def obst2(s_, ey_):
+                if tail == "kc":
+                    return jnp.sum(_obstacles_kc(obs_rows, s_, ey_, dsn, nf))
+                return jnp.sum(
+                    _obstacles_std(obs_rows, s_, ey_, dsn, w["obstacles"])
+                )
+
+            _, lin_o = jax.linearize(
+                jax.grad(obst2, argnums=(0, 1)), wf[i0], wf[i1]
+            )
+            for ci_, i in enumerate((i0, i1)):
+                col = lin_o(*((one, zero) if ci_ == 0 else (zero, one)))
+                Hm[i][i0] = Hm[i][i0] + col[0]
+                Hm[i][i1] = Hm[i][i1] + col[1]
+        return g, Hm, Jcols
 
     # static stage partition: cuts at every branch point of the closures
     # above (dyn seam N-1, st/tail switch N, pm-slew/prev-unit N+1, terminal

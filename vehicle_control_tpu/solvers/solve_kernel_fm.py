@@ -36,7 +36,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 from vehicle_control_tpu.solvers import fm_family
 
-SUB, LANE = 8, 128
+# Tile shape.  The kernel is issue-bound, not op-bound (measured ~6-7 VPU
+# cycles per (8, 128) tile-op: the tiny-minor-dim ops can't fill the
+# pipeline), so widening the sublane dim packs 2-4x more scenarios into
+# each op node at the same op count — FM_SUB=16/32 processes 2048/4096
+# scenarios per kernel instance.  Default 8 = one (8, 128) vreg per op.
+import os as _os
+
+SUB = int(_os.environ.get("FM_SUB", "8"))
+LANE = 128
 B_TILE = SUB * LANE
 
 # Loop-primitive indirection: the kernel body calls these instead of
@@ -74,6 +82,7 @@ def build_solve_kernel_fm(family, cfg):
     ]
     n_outer, n_inner = int(cfg.n_outer), int(cfg.n_inner)
     n_polish = int(cfg.n_polish)
+    polish_boost = float(getattr(cfg, "polish_mu_boost", 1.0))
     early_exit = bool(getattr(cfg, "early_exit", True))
     ls_fast_path = bool(getattr(cfg, "ls_fast_path", False))
     # static stage segments (fm_family.Seg): loop the horizon one segment at
@@ -563,8 +572,11 @@ def build_solve_kernel_fm(family, cfg):
             mu_val = min(mu_val * mu_scale, mu_max)
 
         if n_polish > 0:
-            # optimize against the FINAL multipliers (ALILQRConfig.n_polish)
-            mu = jnp.full((SUB, LANE), mu_val, jnp.float32)
+            # optimize against the FINAL multipliers (ALILQRConfig.n_polish),
+            # optionally with a boosted penalty (polish_mu_boost)
+            mu = jnp.full(
+                (SUB, LANE), min(mu_val * polish_boost, mu_max), jnp.float32
+            )
             rho, n_acc = run_inner(mu, rho, n_acc, n_polish)
 
         # ---- finalize: raw cost, violation, outputs -------------------------
@@ -685,6 +697,7 @@ def build_solve_kernel_fm(family, cfg):
     run.kernel = kernel
     run.tile = tile
     run.untile = untile
+    run.b_tile = B_TILE
     run.dims = dict(NZ=NZ, NU=NU, NC=NC, H=H)
     run.scratch_shapes = [
         (H, NZ, SUB, LANE),
