@@ -171,6 +171,8 @@ def main():
         for d, c, t in cases
     ]
     n_subopt = sum(r["counts"].get("ours-suboptimal", 0) for r in results)
+    n_dev = sum(r["deviant_steps"] for r in results)
+    flip_frac = 1.0 - n_subopt / max(n_dev, 1)
     out = {
         "metric": "classification of full-lap parity-tail steps "
         "(normalized action deviation > threshold) by basin analysis",
@@ -178,8 +180,13 @@ def main():
         "mode": f"parity budget {os.environ.get('BASINS_BUDGET', '8x16+8')}, "
         "f64, unshifted warm start; biased re-solve seeds the reference "
         "action into the warm start",
-        "claim_holds": n_subopt == 0,
+        # the multi-modality claim (VERDICT r4 #5): >= 95% of the parity
+        # tail must be basin flips, i.e. steps where our solution is no
+        # worse in OUR OWN NLP and the deviation is a different local basin
+        "basin_flip_fraction": flip_frac,
+        "claim_holds": flip_frac >= 0.95,
         "ours_suboptimal_total": n_subopt,
+        "deviant_steps_total": n_dev,
         "results": results,
     }
     with open(os.path.join(root, "PARITY_BASINS.json"), "w") as fh:

@@ -77,15 +77,29 @@ def run_case(track, carcfg, run_dir, controller, tail, n_steps=None):
 
 def main():
     root = project_root()
-    track = Track(load_config(os.path.join(root, "configs/environment/ippodromo.yaml")))
+    tracks = {}
+
+    def _track(name):
+        if name not in tracks:
+            tracks[name] = Track(
+                load_config(os.path.join(root, f"configs/environment/{name}.yaml"))
+            )
+        return tracks[name]
+
     carcfg = load_config(os.path.join(root, "configs/models/dynamic_car.yaml"))
     n_steps = int(os.environ.get("PARITY_STEPS", "0")) or None
+    # shoe cases (VERDICT r4 #3): different curvature content exercises the
+    # spline pipeline + formulation parity off the ippodromo happy path
     cases = [
-        ("race1_ippodromo", "cascaded", "pm"),
-        ("race3_ippodromo", "cascaded", "pm"),
-        ("race1_ippodromo", "singletrack", "none"),
+        ("race1_ippodromo", "cascaded", "pm", "ippodromo"),
+        ("race3_ippodromo", "cascaded", "pm", "ippodromo"),
+        ("race1_ippodromo", "singletrack", "none", "ippodromo"),
+        ("race1_shoe", "cascaded", "pm", "shoe"),
+        ("race1_shoe", "singletrack", "none", "shoe"),
     ]
-    results = [run_case(track, carcfg, d, c, t, n_steps) for d, c, t in cases]
+    results = [
+        run_case(_track(tr), carcfg, d, c, t, n_steps) for d, c, t, tr in cases
+    ]
     out = {
         "metric": "full-lap control deviation vs reference IPOPT actions, "
         "median |dev| per channel normalized by reference RMS signal",
