@@ -1,0 +1,13 @@
+#!/bin/bash
+# r5 tuning session 3: final obstacles push (mu_scale=100 was the winner).
+set -u
+cd "$(dirname "$0")/.."
+out=R5_TUNE.log
+run() {
+  echo "== $*" | tee -a "$out" >&2
+  env "$@" python bench.py 2>/dev/null | tail -1 | tee -a "$out"
+}
+run BENCH_CONFIG=cascaded_obstacles BENCH_BATCH=2048 BENCH_MU_SCALE=100 BENCH_POLISH=6
+run BENCH_CONFIG=cascaded_obstacles BENCH_BATCH=2048 BENCH_MU_SCALE=100 BENCH_MU0=1000
+run BENCH_CONFIG=cascaded_obstacles BENCH_BATCH=2048 BENCH_MU_SCALE=300
+cat "$out"

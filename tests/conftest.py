@@ -35,3 +35,12 @@ def ippodromo_track():
 
     cfg = load_config(os.path.join(project_root(), "configs/environment/ippodromo.yaml"))
     return Track(cfg)
+
+
+@pytest.fixture(scope="session")
+def shoe_track():
+    from vehicle_control_tpu.utils.config import load_config, project_root
+    from vehicle_control_tpu.environment.track import Track
+
+    cfg = load_config(os.path.join(project_root(), "configs/environment/shoe.yaml"))
+    return Track(cfg)

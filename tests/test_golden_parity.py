@@ -86,6 +86,20 @@ class TestNorthStarParity:
         assert rep.median_normalized_dev[0] <= 1e-3
         assert rep.median_normalized_dev[1] <= 1e-3
 
+    def test_cascaded_race1_shoe(self, shoe_track):
+        """Shoe track (VERDICT r4 #3): different curvature content — the
+        spline pipeline + formulation parity off the ippodromo happy path."""
+        rep = _parity_report(shoe_track, "race1_shoe", "cascaded", "pm", 100)
+        assert rep.median_normalized_dev[0] <= 1e-3
+        assert rep.median_normalized_dev[1] <= 1e-3
+        assert rep.median_normalized_dev[0] <= 1e-5
+        assert rep.median_normalized_dev[1] <= 1e-5
+
+    def test_singletrack_race1_shoe(self, shoe_track):
+        rep = _parity_report(shoe_track, "race1_shoe", "singletrack", "none", 60)
+        assert rep.median_normalized_dev[0] <= 1e-3
+        assert rep.median_normalized_dev[1] <= 1e-3
+
     @pytest.mark.skipif(
         not int(os.environ.get("PARITY_FULL", "0")),
         reason="full-lap parity run (~1 h): PARITY_FULL=1 to enable",
@@ -137,19 +151,22 @@ class TestProductionEnvelope:
         return rep
 
     def test_typical_step_agreement(self, report):
-        # production envelope (round-2 PARITY.json, fixed budget): median
-        # 1.16 N / 9.6e-5 rad/s on race1, with ~4x headroom
-        assert report.median_abs_dev[0] < 8.0  # Fx [N] of ~2500 N RMS signal
-        assert report.median_abs_dev[1] < 1e-3  # w [rad/s]
+        # production envelope (round-4 measured, fixed budget): median
+        # 1.16 N / 9.6e-5 rad/s on race1; gates at ~1.5-2x so a genuine
+        # closed-loop quality regression trips CI (VERDICT r4 #6)
+        assert report.median_abs_dev[0] < 2.5  # Fx [N] of ~2500 N RMS signal
+        assert report.median_abs_dev[1] < 2e-4  # w [rad/s]
 
     def test_sequence_correlation(self, report):
-        # measured full-lap fixed-budget: 0.960 / 0.926
-        assert report.correlation[0] > 0.93
-        assert report.correlation[1] > 0.88
+        # measured full-lap fixed-budget: 0.960 / 0.926; gate at ~1.5x the
+        # measured correlation deficit
+        assert report.correlation[0] > 0.94
+        assert report.correlation[1] > 0.89
 
     def test_rms_bounded(self, report):
         # RMS deviation dominated by a handful of multi-modal curve-entry
-        # steps; measured full-lap normalized RMS 0.231 / 0.413
+        # steps; measured full-lap normalized RMS 0.231 / 0.413 — the gate
+        # already sits ~1.3x over measured
         assert report.rms_dev[0] < 0.30 * report.rms_ref[0]
         assert report.rms_dev[1] < 0.50 * report.rms_ref[1]
 

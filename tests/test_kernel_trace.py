@@ -227,3 +227,31 @@ def test_fast_derivs_matches_generic_ad(ippodromo_track):
         jnp.asarray(3), wf, lam, mu, kv, ds_read, seg=fam_c.segments[1]
     ) is None  # seam segment not covered
     check(fam_c, fam_c._replace(fast_derivs=None), 1, seg=seg)
+
+    # pm/kc TAIL segments (seg.lo >= N): the closed-form _tail_fast Hessian
+    # must track every tail cost/constraint term — sweep every tail segment
+    # of both tail families, obstacles on and off, at each segment edge
+    tail_cases = [
+        ("pm", "cascaded.yaml", "horizon_pm", False),
+        ("pm", "cascaded.yaml", "horizon_pm", True),
+        ("kc", "cascaded_kinematic.yaml", "horizon_kc", False),
+        ("kc", "cascaded_kinematic.yaml", "horizon_kc", True),
+    ]
+    for tail_name, ctrl_yaml, hkey, obst in tail_cases:
+        cfg_t = dict(
+            _cfg(f"controllers/{ctrl_yaml}"), obstacles=obst, horizon=4
+        )
+        cfg_t[hkey] = 4
+        fam_t = build_cascaded_family(
+            car, cfg_t, tail_name, ippodromo_track.data
+        )
+        tails = [s for s in fam_t.segments if s.lo >= 4]
+        assert tails, f"{tail_name}: no tail segments built"
+        for seg_t in tails:
+            for n in sorted({seg_t.lo, seg_t.hi - 1}):
+                assert fam_t.fast_derivs(
+                    jnp.asarray(n), wf, lam, mu, kv, ds_read, seg=seg_t
+                ) is not None, f"{tail_name} seg {seg_t} not on fast path"
+                check(
+                    fam_t, fam_t._replace(fast_derivs=None), n, seg=seg_t
+                )

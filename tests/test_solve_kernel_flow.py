@@ -154,7 +154,7 @@ def _warm_data(prob, B, seed=0):
 
 
 def _compare(prob, fam, cfg, monkeypatch, du0_tol=2e-4, flat_ok=False,
-             warm=False):
+             warm=False, flip_tol=0.02):
     pv, zv, U, lam = (_warm_data if warm else _data)(prob, B_TILE)
     run = build_solve_kernel_fm(fam, cfg)
     Xk, Uk, lamk, costk, violk, convk, itersk = _run_kernel_eager(
@@ -179,7 +179,13 @@ def _compare(prob, fam, cfg, monkeypatch, du0_tol=2e-4, flat_ok=False,
     # production handles such lanes via recover_viol.
     assert abs(conv_frac_k - conv_frac_r) <= 0.02, (conv_frac_k, conv_frac_r)
     flip = convk != conv_ref
-    assert flip.mean() < 0.05, flip.mean()
+    assert flip.mean() < flip_tol, flip.mean()
+    if flip.any():
+        # flipped lanes must not hide a systematic kernel regression: on a
+        # majority of them the kernel side must land at a no-worse cost
+        ck, cr = costk[flip], np.asarray(ref.cost)[flip]
+        no_worse = ck <= cr + 1e-3 * (1.0 + np.abs(cr))
+        assert no_worse.mean() >= 0.5, (no_worse.mean(), flip.mean())
     both = convk & conv_ref
     assert both.mean() > 0.5  # the comparison below must mean something
     du0 = np.abs(Uk[both, 0, :] - np.asarray(ref.U)[both, 0, :])
@@ -242,7 +248,11 @@ def test_cascaded_flow_matches_xla(ippodromo_track, monkeypatch, f32_mode):
     # threshold, where eager-vs-jit fp noise alone flips basins
     cfg = ALILQRConfig(n_outer=2, n_inner=6, n_alpha=4, n_polish=2,
                        early_exit=True)
-    _compare(prob, fam, cfg, monkeypatch, warm=True)
+    # measured flip fraction on this H=6 toy: ~3.5% — curve-entry lanes
+    # whose violation sits AT tol_con bifurcate on eager-vs-jit rounding
+    # alone; the no-worse-cost majority check in _compare is the systematic-
+    # regression tripwire for them (ADVICE r4 #4)
+    _compare(prob, fam, cfg, monkeypatch, warm=True, flip_tol=0.05)
 
 
 def test_kinematic_flow_ls_fast_path(ippodromo_track, monkeypatch, f32_mode):

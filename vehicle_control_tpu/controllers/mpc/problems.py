@@ -321,12 +321,26 @@ def _make_kernel_factories(family_fn):
 
 
 def build_cascaded_problem(
-    car_config, track: "track_mod.Track", cfg, tail: str = "pm", dtype=jnp.float64
+    car_config, track: "track_mod.Track", cfg, tail: str = "pm",
+    dtype=jnp.float64, p_override=None,
 ) -> MPCProblem:
     """Cascaded MPC problem (reference: cascaded_mpc.py /
     cascaded_kinematic_mpc.py).  ``tail``: "pm", "kc", or "none"
-    (single-track-only, the `singletrack.yaml` M=0 configuration)."""
-    p = _floatify(dc.DynamicCarParams.from_config(car_config))
+    (single-track-only, the `singletrack.yaml` M=0 configuration).
+
+    ``p_override``: optional :class:`dc.DynamicCarParams` whose fields are
+    jnp scalars — or vmap tracers — substituted for the YAML car/env
+    parameters.  This is the per-scenario parameter-batching hook
+    (parallel.make_param_batched_racing_step): friction/car sweeps become
+    ONE compile + one vmap instead of one compiled problem per value.  The
+    closures only ever do jnp arithmetic with ``p``, so tracing with tracer
+    params is exact; the Pallas kernel factories require float-literal
+    params and are disabled on this path (XLA solver only).
+    """
+    if p_override is None:
+        p = _floatify(dc.DynamicCarParams.from_config(car_config))
+    else:
+        p = p_override
     track_data = track.data
     N = int(cfg["horizon"])
     if tail == "pm":
@@ -368,7 +382,11 @@ def build_cascaded_problem(
         )
     elif tail == "kc":
         cons_tail = {k: float(v) for k, v in cfg["state_kc_constraints"].items()}
-        kc_p = kc.KinematicCarParams(l=float(car_config["car"]["l"]))
+        kc_p = (
+            kc.KinematicCarParams(l=float(car_config["car"]["l"]))
+            if p_override is None
+            else kc.KinematicCarParams(l=p.l)
+        )
         tail_spatial = euler(
             _regularized_spatial(
                 lambda x, u, k: kc.temporal_ode(x, u, k, kc_p),
@@ -693,12 +711,18 @@ def build_cascaded_problem(
 
         return build_cascaded_family(car_config, cfg, tail, track_data)
 
-    (
-        linesearch_kernel_factory,
-        derivs_kernel_factory,
-        backward_kernel_factory,
-        solve_kernel_factory,
-    ) = _make_kernel_factories(_family)
+    if p_override is None:
+        (
+            linesearch_kernel_factory,
+            derivs_kernel_factory,
+            backward_kernel_factory,
+            solve_kernel_factory,
+        ) = _make_kernel_factories(_family)
+    else:
+        # Pallas kernels inline params as float literals; with tracer params
+        # only the XLA solver path is available
+        linesearch_kernel_factory = derivs_kernel_factory = None
+        backward_kernel_factory = solve_kernel_factory = None
 
     fns = OCPFunctions(dynamics, stage_cost, constraints)
     return MPCProblem(

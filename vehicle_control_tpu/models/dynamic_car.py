@@ -5,10 +5,12 @@ Pure-jnp re-derivation of the reference's CasADi symbolic model
 TCST 2022 eqs. 1a-1f / 11a-b / 41a-f).  Every function is trace-once and
 ``vmap``-clean over arbitrary leading batch axes of states/actions; the
 parameter dataclass broadcasts too, so the model itself supports batched
-(e.g. friction-swept) parameters.  NOTE: the MPC problem builders inline
-parameters as float literals (a Pallas requirement), so scenario batches
-share one parameter set per built problem — sweeps over car/friction
-parameters build one problem per value (scripts/sweep.py --frictions).
+(e.g. friction-swept) parameters.  The XLA solver path consumes this
+end-to-end: problems.build_cascaded_problem(p_override=...) +
+parallel.make_param_batched_racing_step give every scenario its own
+params in ONE compiled program (scripts/sweep.py --frictions).  Only the
+Pallas kernel path still inlines params as float literals (a Mosaic
+requirement) and builds one kernel per parameter set.
 
 State  (ns=8): Ux, Uy, r, delta, s, ey, epsi, t
 Action (na=2): Fx, w
@@ -98,14 +100,24 @@ class DynamicCarParams:
 # ---------------------------------------------------------------------------
 
 
+# tanh blending scale of the drive/brake split (reference: dynamic_car.py:78);
+# shared with the analytic Jacobians in solvers/fm_singletrack.py so the
+# primal and its hand-derived derivatives cannot drift apart.
+DRIVE_SPLIT_SCALE = 1000.0
+
+
 def drive_split_front(Fx, p: DynamicCarParams):
     """Front drive/brake blend Xf (reference: dynamic_car.py:78-79)."""
-    return (p.Xdf - p.Xbf) / 2 * jnp.tanh(2 * (Fx / 1000.0 + 0.5)) + (p.Xdf + p.Xbf) / 2
+    return (p.Xdf - p.Xbf) / 2 * jnp.tanh(2 * (Fx / DRIVE_SPLIT_SCALE + 0.5)) + (
+        p.Xdf + p.Xbf
+    ) / 2
 
 
 def drive_split_rear(Fx, p: DynamicCarParams):
     """Rear drive/brake blend Xr (reference: dynamic_car.py:83)."""
-    return (p.Xbr - p.Xdr) / 2 * jnp.tanh(-2 * (Fx / 1000.0 + 0.5)) + (p.Xdr + p.Xbr) / 2
+    return (p.Xbr - p.Xdr) / 2 * jnp.tanh(-2 * (Fx / DRIVE_SPLIT_SCALE + 0.5)) + (
+        p.Xdr + p.Xbr
+    ) / 2
 
 
 def Fx_f(Fx, p: DynamicCarParams):

@@ -13,6 +13,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from vehicle_control_tpu.controllers.mpc import problems as problems_mod
 from vehicle_control_tpu.controllers.mpc.controllers import (
     MPCCarry,
     initial_carry,
@@ -69,3 +70,50 @@ def make_batched_racing_step(problem, solver_cfg, transition, track_data, dt, s_
         return mc, next_state, action, info
 
     return jax.vmap(step)
+
+
+def make_param_batched_racing_step(
+    car_config, track, cfg, tail, solver_cfg, dt, dtype=jnp.float32
+):
+    """Closed-loop racing step with PER-SCENARIO car/env parameters.
+
+    Each scenario carries its own :class:`dc.DynamicCarParams` (friction,
+    mass, tire stiffness, ... — a pytree with leading batch axes), so a
+    parameter sweep is ONE compiled program + one ``vmap`` instead of one
+    compiled problem per value (the reference re-builds its whole CasADi
+    graph per parameter set; the float-literal Pallas kernels similarly
+    need one build per value).  XLA solver path only — the problem builder
+    is re-traced with tracer params (problems.build_cascaded_problem
+    ``p_override``), and the plant dynamics use the same per-scenario
+    params, so the sweep perturbs solver AND plant consistently.
+
+    Returns ``step(p_batched, carries, states) ->
+    (carries', states', actions, infos)`` plus a single-scenario
+    ``carry_for(p, state)`` helper for building aligned warm starts.
+    """
+    from vehicle_control_tpu.models import dynamic_car as dc
+
+    track_data = track.data
+    s_index = 4
+
+    def one(p, carry, state):
+        problem = problems_mod.build_cascaded_problem(
+            car_config, track, cfg, tail, dtype, p_override=p
+        )
+        mc, action, info = make_mpc_step(problem, solver_cfg)(carry, state)
+        transition, _ = dc.make_transitions(p)
+        k = track_mod.curvature(track_data, state[s_index])
+        # under x64 the f64 track tables promote the plant step; keep the
+        # scan-carry dtype fixed so chained jitted steps never retrace
+        next_state = transition(state, action, k, dt).astype(state.dtype)
+        return mc, next_state, action, info
+
+    def carry_for(p, state):
+        problem = problems_mod.build_cascaded_problem(
+            car_config, track, cfg, tail, dtype, p_override=p
+        )
+        X0, U0 = problem.warm_start(state)
+        lam0 = jnp.zeros((problem.horizon, problem.nc), X0.dtype)
+        return MPCCarry(X0.astype(dtype), U0.astype(dtype), lam0)
+
+    return jax.vmap(one), jax.vmap(carry_for)

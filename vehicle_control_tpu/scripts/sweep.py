@@ -70,6 +70,64 @@ def main():
     n_dev = jax.device_count()
     B = (args.batch // n_dev) * n_dev
 
+    if len(friction_scales) > 1 and args.controller != "kinematic":
+        # Per-scenario parameter batching (XLA path): every scenario carries
+        # its own DynamicCarParams, so the whole friction sweep is ONE
+        # compiled program — vs one compile per value (the per-value loop
+        # below, still used for the Pallas kernel path and for kinematic).
+        import dataclasses as _dcs
+
+        from vehicle_control_tpu.controllers.mpc.controllers import _solver_config as _scfg
+        from vehicle_control_tpu.parallel import make_param_batched_racing_step
+
+        tail = "pm" if "horizon_pm" in ctrl and int(ctrl.get("horizon_pm", 0)) else "none"
+        carcfg = load_config(os.path.join(root, "configs/models/dynamic_car.yaml"))
+        base = dc.DynamicCarParams.from_config(carcfg)
+        nv = len(friction_scales)
+        scales = jnp.asarray(
+            np.repeat(np.asarray(friction_scales, np.float64), -(-B // nv))[:B], dtype
+        )
+        pb = _dcs.replace(base, mu_f=base.mu_f * scales, mu_r=base.mu_r * scales)
+        p_batch = jax.tree_util.tree_map(
+            lambda f: jnp.broadcast_to(jnp.asarray(f, dtype), (B,)), pb
+        )
+
+        step, carry_for = make_param_batched_racing_step(
+            carcfg, track, ctrl, tail, _scfg(ctrl), 0.05, dtype
+        )
+        step = jax.jit(step)
+
+        rng = np.random.default_rng(0)
+        states = np.zeros((B, 8), np.float32)
+        states[:, 0] = 5.0 + rng.uniform(0, 8, B)
+        states[:, 4] = rng.uniform(0, float(track.length), B)
+        states[:, 5] = rng.uniform(-1, 1, B)
+        states = jnp.asarray(states)
+        carries = jax.jit(carry_for)(p_batch, states)
+
+        print(
+            f"param-batched sweep: {B} scenarios x {args.steps} steps, "
+            f"{nv} friction values in ONE compiled program"
+        )
+        carries, states, actions, infos = step(p_batch, carries, states)
+        jax.block_until_ready(states)
+        t0 = time.perf_counter()
+        conv = None
+        for _ in range(args.steps):
+            carries, states, actions, infos = step(p_batch, carries, states)
+            conv = infos.converged
+        conv = np.asarray(conv)
+        wall = time.perf_counter() - t0
+        print(f"throughput: {B * args.steps / wall:.0f} solves/s")
+        vals = np.asarray(scales)
+        for v in friction_scales:
+            m = vals == np.float32(v)
+            print(
+                f"  friction x{v}: conv {conv[m].mean() * 100:.1f}% "
+                f"({int(m.sum())} scenarios)"
+            )
+        return
+
     for mu_scale in friction_scales:
         if args.controller == "kinematic":
             carcfg = load_config(os.path.join(root, "configs/models/kinematic_car.yaml"))

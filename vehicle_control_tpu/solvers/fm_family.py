@@ -757,13 +757,8 @@ def build_cascaded_family(car_config, cfg, tail, track_data) -> FMFamily:
                 tangents = tuple(one if j == i else zero for j in range(NW))
                 ji = list(lin_d(*tangents))
                 Jcols.append([_t(x) for x in ji])
-            else:  # extras (z5-z7 pm / z6-z7 kc) and the stash: never read
-                ji = [zero] * NZ
-                if i == NZ + 0:
-                    ji[8] = one
-                if i == NZ + 1:
-                    ji[9] = one
-                Jcols.append(ji)
+            else:  # extras (z5-z7 pm / z6-z7 kc): never read downstream
+                Jcols.append([zero] * NZ)
         # stash rows for the live control columns
         Jcols[NZ + 0][8] = one
         Jcols[NZ + 1][9] = one

@@ -139,19 +139,20 @@ def spatial_prime_jac(x, Fx, wact, k, p):
     dar = {0: -gar * qr, 1: gar, 2: -gar * p.b}
 
     # drive/brake split (functions of Fx only)
-    thf = jnp.tanh(2.0 * (Fx / 1000.0 + 0.5))
+    dss = dc.DRIVE_SPLIT_SCALE
+    thf = jnp.tanh(2.0 * (Fx / dss + 0.5))
     Xf = (p.Xdf - p.Xbf) / 2 * thf + (p.Xdf + p.Xbf) / 2
     fxf = Fx * Xf
-    dfxf = Xf + Fx * ((p.Xdf - p.Xbf) * (1.0 - thf * thf) / 1000.0)
-    thr = jnp.tanh(-2.0 * (Fx / 1000.0 + 0.5))
+    dfxf = Xf + Fx * ((p.Xdf - p.Xbf) * (1.0 - thf * thf) / dss)
+    thr = jnp.tanh(-2.0 * (Fx / dss + 0.5))
     Xr = (p.Xbr - p.Xdr) / 2 * thr + (p.Xdr + p.Xbr) / 2
     fxr = Fx * Xr
-    dfxr = Xr - Fx * ((p.Xbr - p.Xdr) * (1.0 - thr * thr) / 1000.0)
+    dfxr = Xr - Fx * ((p.Xbr - p.Xdr) * (1.0 - thr * thr) / dss)
 
     # normal loads + friction-limited Fy_max (safe_sqrt guard semantics)
     import math as _math
 
-    gcc = 9.88 * _math.cos(p.theta) * _math.cos(p.phi)  # dc.GRAVITY
+    gcc = dc.GRAVITY * _math.cos(p.theta) * _math.cos(p.phi)
     czf = (p.b / p.l) * p.m
     czr = (p.a / p.l) * p.m
     Fzf = czf * (gcc + p.Av2 * Ux * Ux) - p.h * Fx / p.l

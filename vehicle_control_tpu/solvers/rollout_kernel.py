@@ -1,19 +1,19 @@
-"""Pallas TPU kernel: fused line-search rollouts (EXPERIMENTAL).
+"""Pallas TPU kernel: fused line-search rollouts — FIELD-LAST LAYOUT
+ABLATION ARTIFACT.  Not on any production path; superseded by the
+field-major kernels (rollout_kernel_fm.py and everything downstream).
 
-Evaluates the AL cost of every line-search candidate's closed-loop rollout
-in one kernel — grid (n_alpha, B/1024), all per-stage tensors resident in
-VMEM, driving the *same* batch-polymorphic problem closures as the XLA
-path.  Numerically correct (interpret-mode test bit-matches; on-chip max
-deviation ~4e-5 vs the XLA line search) and demonstrates the full set of
-Mosaic-compatibility techniques (see PLAN.md "Round-1 findings").
-
-NOT yet the fast path: measured 149 ms vs 4.65 ms for XLA at B=4096, H=30.
-Mosaic assigns the last two *logical* dims to (sublane, lane), so the
-closures' field-last (..., 8, 128, F) arrays are physically lane-padded
-12.8x and every ``x[..., i]`` slice relayouts.  The planned fix is
-field-major kernel math (state as F separate (8,128) tiles end-to-end);
-until then the solver keeps the XLA line search and this kernel serves as
-the validated scaffold for that work.
+This is the round-1 layout experiment kept as the measured half of the
+single most important TPU lesson in this repo: Mosaic assigns the last two
+*logical* dims to (sublane, lane), so the closures' field-last
+(..., 8, 128, F) arrays are physically lane-padded 12.8x and every
+``x[..., i]`` slice relayouts.  Measured 149 ms vs 2.79 ms for the
+field-major twin at B=4096, H=30 (53x; see PLAN.md "Performance frontier"
+and CLAUDE.md perf log).  The kernel itself is numerically correct
+(interpret-mode test bit-matches; on-chip max deviation ~4e-5 vs the XLA
+line search) and exercises the full set of Mosaic-compatibility
+techniques, which is why its interpret-mode test stays in CI
+(tests/test_rollout_kernel.py) as coverage of the batch-polymorphic
+problem closures inside a kernel body.
 """
 
 from __future__ import annotations
