@@ -106,16 +106,26 @@ def build(config_name, N, dtype):
             if config_name == "cascaded_obstacles":
                 # obstacle barriers leave small AL residuals at mu_scale=10
                 # (conv 86% on cold drops); faster penalty growth converges
-                # the multipliers within the same iteration budget.  r4:
-                # penalty warm-starting (mu0=300 — warm-started lanes carry
-                # near-optimal multipliers, so a large initial penalty is
-                # stable and shrinks the marginal friction-circle flicker
-                # that TPU-f32 noise pushes past tol_con) buys back the
-                # round-3 budget increase: 3x8+4 @ mu0=300 measures
-                # 92.7k solves/s @ 99.02% (was 4x8+4 @ 67.0k @ 98.88%).
-                solver["mu_scale"] = 30.0
+                # the multipliers within the same iteration budget, and the
+                # r5 dose-response (R5_TUNE.log) moved the optimum from
+                # ms=30 to ms=100: 3x8+4 ms30 98.58% -> ms100 99.07%,
+                # +6p 99.37%, 3x10+6 99.46% (ms=300 overshoots: 98.34%;
+                # mu0=1000 also hurts: 98.63%).  The residual ~0.5pp tail
+                # is the TPU-f32 XLU flicker band (CPU-f32 ceiling at this
+                # protocol: 99.51%) — see PLAN.md round-5 log.
+                solver["mu_scale"] = 100.0
                 solver["mu0"] = 300.0
-                solver["n_polish"] = 4
+                solver["n_inner"] = 10
+                solver["n_polish"] = 6
+                # diagnose_conv census (r5, TPU): the non-conv tail is NOT
+                # 1e-4 flicker — bad lanes carry violations 0.8-50 from
+                # awkward warm-start carries, most BELOW the default 5.0
+                # recovery threshold, and a drop-in cold start re-solve
+                # converges 22/23 of them with violation 0.  A tighter
+                # reset threshold converts stuck episodes into 1-step
+                # transients: recover 5.0 -> 99.46%, 1.0 -> 99.46%,
+                # 0.5 -> 99.51% at this budget (R5_TUNE.log).
+                solver["recover_viol"] = 0.5
         elif config_name == "cascaded_kinematic":
             ctrl = load_config(
                 os.path.join(root, "configs/controllers/cascaded_kinematic.yaml")
@@ -234,6 +244,9 @@ def main():
         # alpha=1 fast path: sweep one candidate, cond-run the ladder only
         # when a live lane rejects it (ALILQRConfig.ls_fast_path)
         ls_fast_path=bool(int(os.environ.get("BENCH_LS_FAST", "0"))),
+        recover_viol=float(
+            os.environ.get("BENCH_RECOVER", solver.get("recover_viol", 5.0))
+        ),
     )
     step_fn = make_batched_racing_step(
         problem, solver_cfg, temporal, track.data, 0.05, s_index
