@@ -127,7 +127,15 @@ class RacingSimulator:
     # -- main loop -----------------------------------------------------------
 
     def run(self, max_steps: int = 2500, chunk: int = 25):
-        """Run every controller to lap completion (or ``max_steps``)."""
+        """Run every controller to lap completion (or ``max_steps``).
+
+        ``chunk`` steps run per jitted dispatch, so wall-clock is observable
+        at chunk granularity and the saved per-step elapsed is the chunk
+        mean; pass ``chunk=1`` for genuinely per-step timings (slower: one
+        host round-trip per step) — the saved ``elapsed_semantics`` field
+        records which one an artifact holds.
+        """
+        self._chunk = chunk
         lap_s = self.track.length - 0.1  # lap threshold (racing.py:218)
         for entry in self.entries.values():
             while not entry.done and entry.steps < max_steps:
@@ -249,11 +257,14 @@ class RacingSimulator:
             np.save(os.path.join(path, f"{name}_action_traj.npy"), self.action_traj[name])
             np.save(os.path.join(path, f"{name}_preds.npy"), self._global_preds(name))
             np.save(os.path.join(path, f"{name}_elapsed.npy"), self.elapsed[name])
-            # per-step elapsed is the chunk-dispatch mean (see run()); record
-            # that so the arrays are not mistaken for the reference's genuinely
-            # per-step timings when analyzed side by side
+            # per-step elapsed is the chunk-dispatch mean unless the run used
+            # chunk=1 (see run()); record which, so the arrays are not
+            # mistaken for (or wrongly distrusted as) the reference's
+            # genuinely per-step timings when analyzed side by side
             cfg_out = self.entries[name].config
-            cfg_out["elapsed_semantics"] = "chunk_mean"
+            cfg_out["elapsed_semantics"] = (
+                "per_step" if getattr(self, "_chunk", 25) == 1 else "chunk_mean"
+            )
             save_config(cfg_out, os.path.join(path, f"{name}_config.yaml"))
         return path
 
