@@ -42,12 +42,18 @@ def _states(track, B, seed=3):
     return st
 
 
-@pytest.mark.parametrize("tail", ["none", "pm"])
+@pytest.mark.parametrize("tail", ["none", "pm", "kc"])
 def test_param_batched_matches_per_value_builds(ippodromo_track, tail):
     track = ippodromo_track
     if tail == "none":
         ctrl = dict(_cfg("controllers/singletrack.yaml"), obstacles=False)
         ctrl["horizon"] = 8
+    elif tail == "kc":
+        # also covers the p_override-derived kc wheelbase
+        # (problems.py: kc_p = KinematicCarParams(l=p.l))
+        ctrl = dict(_cfg("controllers/cascaded_kinematic.yaml"), obstacles=False)
+        ctrl["horizon"] = 6
+        ctrl["horizon_kc"] = 6
     else:
         ctrl = dict(_cfg("controllers/cascaded.yaml"), obstacles=False)
         ctrl["horizon"] = 6
@@ -99,21 +105,40 @@ def test_param_batched_matches_per_value_builds(ippodromo_track, tail):
         vc, vs, va, vi = step_v(car_v, st_v)
         vc2, vs2, va2, _ = step_v(vc, vs)
 
-        np.testing.assert_allclose(
-            np.asarray(ba)[idx], np.asarray(va), rtol=1e-9, atol=1e-9
-        )
-        np.testing.assert_allclose(
-            np.asarray(bs)[idx], np.asarray(vs), rtol=1e-9, atol=1e-9
-        )
-        np.testing.assert_allclose(
-            np.asarray(ba2)[idx], np.asarray(va2), rtol=1e-7, atol=1e-8
-        )
-        np.testing.assert_allclose(
-            np.asarray(bs2)[idx], np.asarray(vs2), rtol=1e-7, atol=1e-8
-        )
-        np.testing.assert_array_equal(
-            np.asarray(bi.converged)[idx], np.asarray(vi.converged)
-        )
+        if tail == "kc":
+            # the H=12 kc toy is multi-modal: the two traces (literal vs
+            # tracer params) compute identical values but associate fp ops
+            # differently, and one chaotic lane per seed can land in a
+            # DIFFERENT equally-good basin (measured: batched cost 2.693 vs
+            # per-value 2.991, both feasible).  Assert per-lane: bitwise-
+            # tight match OR an equally-good converged solution.
+            da = np.abs(np.asarray(ba)[idx] - np.asarray(va)).max(axis=1)
+            cb = np.asarray(bi.cost)[idx]
+            cv = np.asarray(vi.cost)
+            tight = da < 1e-8
+            good = (
+                np.asarray(bi.converged)[idx]
+                & np.asarray(vi.converged)
+                & (cb <= cv + 1e-6 * (1.0 + np.abs(cv)))
+            )
+            assert np.all(tight | good), (da, cb, cv)
+            assert tight.mean() >= 0.5, da
+        else:
+            np.testing.assert_allclose(
+                np.asarray(ba)[idx], np.asarray(va), rtol=1e-9, atol=1e-9
+            )
+            np.testing.assert_allclose(
+                np.asarray(bs)[idx], np.asarray(vs), rtol=1e-9, atol=1e-9
+            )
+            np.testing.assert_allclose(
+                np.asarray(ba2)[idx], np.asarray(va2), rtol=1e-7, atol=1e-8
+            )
+            np.testing.assert_allclose(
+                np.asarray(bs2)[idx], np.asarray(vs2), rtol=1e-7, atol=1e-8
+            )
+            np.testing.assert_array_equal(
+                np.asarray(bi.converged)[idx], np.asarray(vi.converged)
+            )
 
 
 def test_param_batched_sweep_is_one_compile(ippodromo_track):
