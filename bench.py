@@ -20,7 +20,9 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 
 Env knobs: BENCH_CONFIG, BENCH_BATCH (scenarios), BENCH_STEPS (timed steps),
 BENCH_HORIZON (singletrack only), BENCH_DTYPE (f32|bf16|f64),
-BENCH_MODE (throughput|latency), BENCH_KERNEL (0/1 Pallas kernels).
+BENCH_MODE (throughput|latency), BENCH_KERNEL (0/1 Pallas kernels);
+budget overrides BENCH_OUTER/INNER/ALPHA/POLISH/MU0/MU_SCALE/RECOVER
+(defaults = the per-family tuned schedules below, R5_TUNE.log).
 """
 
 import json
@@ -74,8 +76,8 @@ def build(config_name, N, dtype):
         # the steering stop (problems._sat_col) makes the delta bound hold by
         # construction; cold mid-curve drops then converge far below the old
         # 3x8 budget (46% conv before the stop; 2x4 measured 100% on TPU,
-        # r5 trim 2x3 still 100% at 656k solves/s — R5_TUNE.log)
-        solver = dict(n_outer=2, n_inner=3)
+        # r5 trims: 2x3 100% at 656k, + the 6-rung ladder 100% at 732.5k)
+        solver = dict(n_outer=2, n_inner=3, n_alpha=6)
     else:
         carcfg = load_config(os.path.join(root, "configs/models/dynamic_car.yaml"))
         if config_name == "singletrack":
@@ -100,9 +102,14 @@ def build(config_name, N, dtype):
             # in r5 — VERDICT r4 #1): warm-started lanes carry near-optimal
             # multipliers, so the large initial penalty is stable and shrinks
             # the steady-state AL residual flicker that TPU-f32 numerics push
-            # past tol_con.  Measured A/B at 3x8, B=2048 (R5_TUNE.log):
-            # mu0=10 113.7k @ 99.07% -> mu0=300 106.0k @ 99.90%.
-            solver = dict(n_outer=3, n_inner=8, mu0=300.0)
+            # past tol_con.  Measured A/B at 3x8 a8, B=2048 (R5_TUNE.log):
+            # mu0=10 113.7k @ 99.07% -> mu0=300 106.0k @ 99.90% — then the
+            # conv slack converts to budget: 2x8+4p 128.9k @ 99.76%, and the
+            # 6-rung ladder (neutral on conv for this family, unlike
+            # obstacles) lands 2x8+4p a6 147.5k @ 99.76%.
+            solver = dict(
+                n_outer=2, n_inner=8, n_polish=4, n_alpha=6, mu0=300.0
+            )
             if config_name == "cascaded_obstacles":
                 # obstacle barriers leave small AL residuals at mu_scale=10
                 # (conv 86% on cold drops); faster penalty growth converges
@@ -115,8 +122,11 @@ def build(config_name, N, dtype):
                 # protocol: 99.51%) — see PLAN.md round-5 log.
                 solver["mu_scale"] = 100.0
                 solver["mu0"] = 300.0
+                solver["n_outer"] = 3  # the 2-outer flagship trim loses conv here
                 solver["n_inner"] = 10
                 solver["n_polish"] = 6
+                solver["n_alpha"] = 8  # a6 ladder costs conv on obstacles
+                # (99.51 -> 99.27); this family keeps the full 8 rungs
                 # diagnose_conv census (r5, TPU): the non-conv tail is NOT
                 # 1e-4 flicker — bad lanes carry violations 0.8-50 from
                 # awkward warm-start carries, most BELOW the default 5.0
@@ -139,8 +149,11 @@ def build(config_name, N, dtype):
             # 10 -> 98.19%, 100 -> 98.88%, 300 -> 99.22%.  r5 trim
             # (R5_TUNE.log): with mu0=300 the smaller 3x8+6 budget measures
             # 102.1k @ 100.00% (4x10+6 was 70.1k @ 99.95%; 4x8+4 83.3k @
-            # 99.90%) — polish + big-mu0 does the work, not outer count.
-            solver = dict(n_outer=3, n_inner=8, n_polish=6, mu0=300.0)
+            # 99.90%) — polish + big-mu0 does the work, not outer count;
+            # the 6-rung ladder is free here too: a6 115.2k @ 100.00%.
+            solver = dict(
+                n_outer=3, n_inner=8, n_polish=6, n_alpha=6, mu0=300.0
+            )
         else:
             raise SystemExit(f"unknown BENCH_CONFIG {config_name}")
         problem = problems.build_cascaded_problem(carcfg, track, ctrl, tail, dtype)

@@ -1,0 +1,12 @@
+#!/bin/bash
+# r5 session 8: flagship cascaded budget trims (conv slack at 3x8 mu300 = 99.90%).
+set -u
+cd "$(dirname "$0")/.."
+out=R5_TUNE.log
+run() {
+  echo "== $*" | tee -a "$out" >&2
+  env "$@" python bench.py 2>/dev/null | tail -1 | tee -a "$out"
+}
+run BENCH_CONFIG=cascaded BENCH_BATCH=2048 BENCH_INNER=7
+run BENCH_CONFIG=cascaded BENCH_BATCH=2048 BENCH_OUTER=2 BENCH_POLISH=4
+run BENCH_CONFIG=cascaded BENCH_BATCH=2048 BENCH_ALPHA=6
