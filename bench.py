@@ -104,11 +104,12 @@ def build(config_name, N, dtype):
             # the steady-state AL residual flicker that TPU-f32 numerics push
             # past tol_con.  Measured A/B at 3x8 a8, B=2048 (R5_TUNE.log):
             # mu0=10 113.7k @ 99.07% -> mu0=300 106.0k @ 99.90% — then the
-            # conv slack converts to budget: 2x8+4p 128.9k @ 99.76%, and the
-            # 6-rung ladder (neutral on conv for this family, unlike
-            # obstacles) lands 2x8+4p a6 147.5k @ 99.76%.
+            # conv slack converts to budget + the 6-rung ladder (neutral on
+            # conv for this family, unlike obstacles).  Frontier: 2x8+4p a6
+            # 147.5k@99.76, 2x7+4 163.3k@99.80, 2x6+4 175.5k@99.61,
+            # 2x6+3 186.5k@99.56 (default), 2x5+3 208.3k@98.88 (too far).
             solver = dict(
-                n_outer=2, n_inner=8, n_polish=4, n_alpha=6, mu0=300.0
+                n_outer=2, n_inner=6, n_polish=3, n_alpha=6, mu0=300.0
             )
             if config_name == "cascaded_obstacles":
                 # obstacle barriers leave small AL residuals at mu_scale=10

@@ -1,0 +1,13 @@
+#!/bin/bash
+# r5 session 10: last frontier probes.
+set -u
+cd "$(dirname "$0")/.."
+out=R5_TUNE.log
+run() {
+  echo "== $*" | tee -a "$out" >&2
+  env "$@" python bench.py 2>/dev/null | tail -1 | tee -a "$out"
+}
+run BENCH_CONFIG=singletrack BENCH_POLISH=4 BENCH_ALPHA=5
+run BENCH_CONFIG=singletrack BENCH_MU0=1000
+run BENCH_CONFIG=cascaded BENCH_BATCH=2048 BENCH_POLISH=3
+run BENCH_CONFIG=cascaded BENCH_BATCH=2048 BENCH_INNER=7
