@@ -124,3 +124,35 @@ class TestCascadedKinematicMPC:
         assert float(state[0]) > 5.0
         assert abs(float(state[5])) < 3.2
         assert maxviol < 0.1
+
+
+class TestSolverConfigPlumbing:
+    def test_yaml_solver_section_reaches_alilqr_config(self):
+        """Every key the tuned-budget YAML blocks use (incl. the r5 polish
+        stage) must round-trip through _solver_config; a silently-dropped
+        key would run the production loop at the wrong budget."""
+        from vehicle_control_tpu.controllers.mpc.controllers import _solver_config
+
+        cfg = {
+            "solver": {
+                "n_outer": 2,
+                "n_inner": 6,
+                "n_polish": 3,
+                "polish_mu_boost": 2.0,
+                "n_alpha": 6,
+                "mu0": 300,
+                "mu_scale": 100,
+                "tol_con": 1e-3,
+                "tol_cost": 1e-7,
+                "recover_viol": 0.5,
+            }
+        }
+        sc = _solver_config(cfg)
+        assert (sc.n_outer, sc.n_inner, sc.n_polish) == (2, 6, 3)
+        assert sc.polish_mu_boost == 2.0
+        assert (sc.n_alpha, sc.mu0, sc.mu_scale) == (6, 300.0, 100.0)
+        assert sc.recover_viol == 0.5
+        # defaults unchanged when the section is absent
+        sd = _solver_config({})
+        assert (sd.n_outer, sd.n_inner, sd.n_polish) == (3, 8, 0)
+        assert sd.polish_mu_boost == 1.0

@@ -46,6 +46,8 @@ def _solver_config(cfg) -> ALILQRConfig:
     return ALILQRConfig(
         n_outer=int(s.get("n_outer", 3)),
         n_inner=int(s.get("n_inner", 8)),
+        n_polish=int(s.get("n_polish", 0)),
+        polish_mu_boost=float(s.get("polish_mu_boost", 1.0)),
         n_alpha=int(s.get("n_alpha", 8)),
         mu0=float(s.get("mu0", 10.0)),
         mu_scale=float(s.get("mu_scale", 10.0)),
